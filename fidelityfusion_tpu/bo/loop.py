@@ -1,0 +1,137 @@
+"""Multi-fidelity Bayesian-optimization outer loops.
+
+TPU-native re-design of `Experiments/MFBO_discrete/MF_BO_discrete.py:33-152`:
+init design -> fit MF surrogate -> maximize acquisition (x and fidelity) ->
+query objective at (x, s) -> append -> record {cost, incumbent, time}.
+
+The surrogate is rebuilt + retrained from scratch each iteration (matching
+the reference protocol, `MF_BO_discrete.py:63-76`); all inner training /
+acquisition maximization runs jitted+vmapped.  The loop itself stays in
+Python because it mutates the dataset (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fidelityfusion_tpu.bo.mf_acq import DiscreteMFAcquisition, optimize_acq_mf
+from fidelityfusion_tpu.models.ar import AR, train_AR
+from fidelityfusion_tpu.models.resgp import ResGP, train_ResGP
+from fidelityfusion_tpu.models.nar import NAR, train_NAR
+from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
+from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+MODEL_REGISTRY = {
+    "AR": (AR, train_AR),
+    "ResGP": (ResGP, train_ResGP),
+    "NAR": (NAR, train_NAR),
+}
+
+
+def mf_bo_discrete(
+    objective,
+    method: str = "UCB",
+    model_name: str = "AR",
+    bo_iterations: int = 10,
+    init_index: Optional[Dict[int, int]] = None,
+    seed: int = 0,
+    train_iters: int = 100,
+    train_lr: float = 5e-2,
+    acq_iterations: int = 30,
+    acq_lr: float = 0.1,
+    gamma: Optional[List[float]] = None,
+    verbose: bool = False,
+) -> Dict[str, List]:
+    """Discrete multi-fidelity BO (`MF_BO_discrete.py:33-152`).
+
+    ``objective`` follows the `data/objectives.py` protocol (2 fidelities).
+    Returns the record dict {cost, incumbents, operation_time, X, S}.
+    """
+    init_index = init_index or {1: 10, 2: 4}
+    fidelity_num = objective.total_fidelity_num
+    xs, ys = objective.initiate_data(init_index, seed)
+    key = jax.random.PRNGKey(seed)
+
+    record = {"cost": [], "incumbents": [], "operation_time": [], "X": [], "S": []}
+    bounds = np.asarray(objective.search_range[: objective.x_dim], float)
+
+    for it in range(bo_iterations):
+        t0 = time.time()
+        dm = MultiFidelityDataManager(
+            [
+                {
+                    "raw_fidelity_name": str(i),
+                    "fidelity_indicator": i,
+                    "X": xs[i],
+                    "Y": ys[i],
+                }
+                for i in range(fidelity_num)
+            ]
+        )
+        cls, train_fn = MODEL_REGISTRY[model_name]
+        kernel_list = [SquaredExponentialKernel() for _ in range(fidelity_num)]
+        model = cls(
+            fidelity_num,
+            kernel_list,
+            if_nonsubset=True,
+            input_dim=objective.x_dim,
+        )
+        train_fn(model, dm, max_iter=train_iters, lr_init=train_lr)
+
+        def mean_fn(x, s, model=model, dm=dm):
+            m, _ = model.forward(dm, x, to_fidelity=s)
+            return m.reshape(-1)
+
+        def var_fn(x, s, model=model, dm=dm):
+            _, c = model.forward(dm, x, to_fidelity=s)
+            c = jnp.asarray(c)
+            return (jnp.diagonal(c) if c.ndim == 2 else c).reshape(-1)
+
+        f_best = float(max(np.max(y) for y in ys))
+        acq = DiscreteMFAcquisition(
+            mean_fn, var_fn, fidelity_num, objective.x_dim, f_best=f_best
+        )
+        score = {
+            "UCB": acq.UCB_MF,
+            "EI": acq.EI_MF,
+            "PI": acq.PI_MF,
+            "KG": acq.KG_MF,
+        }[method]
+
+        new_x, _, _ = optimize_acq_mf(
+            score,
+            fidelity_num,
+            bounds,
+            jax.random.fold_in(key, it),
+            n_iterations=acq_iterations,
+            learning_rate=acq_lr,
+        )
+        new_x = np.asarray(new_x).reshape(1, -1)
+        if gamma is not None:
+            new_s = acq.acq_selection_fidelity(gamma, jnp.asarray(new_x, jnp.float32))
+        else:
+            # default MF-GP-UCB thresholds scaled by iteration
+            g = [1.0 / (it + 1)] * fidelity_num
+            new_s = acq.acq_selection_fidelity(g, jnp.asarray(new_x, jnp.float32))
+
+        new_y = objective.get_data(new_x, new_s + 1)
+        xs[new_s] = np.concatenate([xs[new_s], new_x], axis=0)
+        ys[new_s] = np.concatenate([ys[new_s], new_y.reshape(1, -1)], axis=0)
+
+        record["X"].append(new_x.ravel().tolist())
+        record["S"].append(int(new_s))
+        record["cost"].append(objective.cost.compute_model_cost(ys))
+        record["incumbents"].append(float(np.max(ys[-1])))
+        record["operation_time"].append(time.time() - t0)
+        if verbose:
+            print(
+                f"iter {it}: x={new_x.ravel()}, s={new_s}, "
+                f"incumbent={record['incumbents'][-1]:.4f}, "
+                f"cost={record['cost'][-1]:.0f}"
+            )
+    return record

@@ -1,0 +1,293 @@
+"""AR (Kennedy-O'Hagan autoregressive) multi-fidelity fusion.
+
+TPU-native re-design of `FidelityFusion_Models/AR_autoRegression.py:12-140`:
+    y_hi(x) = rho_i * y_lo(x) + res_i(x)
+with a CIGP residual GP per fidelity and a trainable scalar rho per step.
+
+Architecture: the model object holds only static specs + a parameter
+pytree; training is *staged* — each fidelity's (GP hyperparams, rho) is
+optimized by one jit-compiled `lax.scan` Adam loop (`train/fit.py`), with
+optional vmapped random restarts.  Residual targets are recomputed inside
+the loss so rho receives gradients through them, exactly like the
+reference (`AR_autoRegression.py:125-130`).  Non-subset data handling
+(imputing missing low-fidelity observations via the model's own cascade,
+`MF_data.py:253-303`) happens *between* stages as an explicit staged
+computation, keeping every jitted graph static.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fidelityfusion_tpu.models.cigp import CIGP
+from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
+from fidelityfusion_tpu.ops.kernels import Kernel
+from fidelityfusion_tpu.train.fit import (
+    fit,
+    fit_restarts,
+    gp_restart_batch,
+    perturb_params,
+    stack_params,
+)
+
+
+def stage_x(data_manager, i: int, x_raw) -> jnp.ndarray:
+    """Normalize raw test inputs with stage i's x-statistics (stage i's GP
+    was trained in that space); pass-through if no normalizer exists.
+    Pure jnp ops so the whole forward cascade stays jit/grad-traceable
+    (acquisition optimization differentiates through it)."""
+    x = jnp.asarray(x_raw, jnp.float32)
+    norm = data_manager.normalizelayer.get(i)
+    if norm is None:
+        return x
+    return (x - jnp.asarray(norm.x_mean, jnp.float32)) / (
+        jnp.asarray(norm.x_std, jnp.float32) + 1e-10
+    )
+
+
+class AR:
+    """Autoregressive multi-fidelity model (Kennedy & O'Hagan)."""
+
+    def __init__(
+        self,
+        fidelity_num: int,
+        kernel_list: Sequence[Kernel],
+        rho_init: float = 1.0,
+        if_nonsubset: bool = False,
+        input_dim: int = 1,
+    ):
+        self.fidelity_num = fidelity_num
+        self.gp_list: List[CIGP] = [CIGP(kernel=k) for k in kernel_list]
+        self.if_nonsubset = if_nonsubset
+        self.input_dim = input_dim
+        self.params = {
+            "gp": [gp.init_params(input_dim) for gp in self.gp_list],
+            "rho": [
+                jnp.asarray(rho_init, jnp.float32) for _ in range(fidelity_num - 1)
+            ],
+        }
+        # per-stage residual standardization (shift, scale): residual targets
+        # are O(0.1) while fidelity-0 data is O(1); standardizing each stage's
+        # targets makes every NLML landscape O(1) and avoids the all-noise
+        # local optimum the raw reference parametrization falls into.
+        self.stage_norm = [(0.0, 1.0)] * fidelity_num
+
+    # ---------------------------------------------------------------- predict
+    def forward(
+        self,
+        data_manager: MultiFidelityDataManager,
+        x_test: jnp.ndarray,
+        to_fidelity: Optional[int] = None,
+        denormalize: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Prediction cascade (`AR_autoRegression.py:56-89`): fidelity-0 GP
+        posterior plus rho-scaled residual GP posteriors stacked upward.
+
+        ``x_test`` is RAW (unnormalized); each stage normalizes it with its
+        own fidelity's x-statistics before evaluating that stage's GP.  (The
+        reference instead normalizes x_test once with the *top* fidelity's
+        normalizer, `AR_autoRegression.py:182`, which misaligns the lower
+        stages' input spaces whenever the per-fidelity x-sets differ — a
+        phase-shift bug for oscillatory targets that we fix here.)
+
+        Returns (mean, full covariance): raw y units when ``denormalize``,
+        else in the target fidelity's normalized-y space.
+        """
+        fidelity_level = (
+            to_fidelity if to_fidelity is not None else self.fidelity_num - 1
+        )
+        x_raw = x_test
+        mean, cov = None, None
+        for i in range(fidelity_level + 1):
+            xt_i = stage_x(data_manager, i, x_raw)
+            if i == 0:
+                x_tr, y_tr = data_manager.get_data(0, normal=True)
+                mean, cov = self.gp_list[0].predict(
+                    self.params["gp"][0],
+                    jnp.asarray(x_tr, jnp.float32),
+                    jnp.asarray(y_tr, jnp.float32),
+                    xt_i,
+                )
+            else:
+                x_tr, y_tr = data_manager.get_data_by_name(f"res-{i}")
+                y_mean, y_var = (y_tr[0], y_tr[1]) if isinstance(y_tr, list) else (y_tr, None)
+                m_res, c_res = self.gp_list[i].predict(
+                    self.params["gp"][i],
+                    jnp.asarray(x_tr, jnp.float32),
+                    jnp.asarray(y_mean, jnp.float32),
+                    xt_i,
+                )
+                # Consistent AR recombination: training fits res = y_hi - rho*y_lo,
+                # so prediction is y_hi = rho*y_lo + res (legacy-stack semantics,
+                # `multiscale_coupling/Residual.py:20-34`; the current-stack
+                # reference instead computes y_lo + rho*res at
+                # `AR_autoRegression.py:84-85`, which is only consistent when
+                # rho ~= 1 — a bug not replicated here).
+                rho = self.params["rho"][i - 1]
+                shift, scale = self.stage_norm[i]
+                mean = rho * mean + (shift + scale * m_res)
+                cov = rho**2 * cov + scale**2 * c_res
+        if denormalize:
+            norm = data_manager.normalizelayer[fidelity_level]
+            mean = mean * float(norm.y_std) + float(norm.y_mean)
+            cov = cov * float(norm.y_std) ** 2
+        return mean, cov
+
+    __call__ = forward
+
+
+def train_AR(
+    model: AR,
+    data_manager: MultiFidelityDataManager,
+    max_iter: int = 100,
+    lr_init: float = 1e-2,
+    n_restarts: int = 4,
+    seed: int = 0,
+    debugger=None,
+) -> List[jnp.ndarray]:
+    """Sequential per-fidelity training (`AR_autoRegression.py:92-140`).
+
+    Stage 0 fits the base GP on raw fidelity-0 data; stage i >= 1 fits the
+    residual GP on ``y_hi - rho_i * y_lo`` over the subset (or the imputed
+    non-subset fill data with variance targets).  Each stage is one
+    compiled scan; with ``n_restarts > 1`` the stage loop is vmapped over
+    jittered initializations and the best final NLML wins.
+
+    Returns the list of per-stage loss histories.
+    """
+    histories = []
+    key = jax.random.PRNGKey(seed)
+    for i_fid in range(model.fidelity_num):
+        if i_fid == 0:
+            x_low, y_low = data_manager.get_data(0, normal=True)
+            x_low = jnp.asarray(x_low, jnp.float32)
+            y_low = jnp.asarray(y_low, jnp.float32)
+            gp = model.gp_list[0]
+
+            def loss0(p):
+                return gp.nll(p, x_low, y_low)
+
+            stage_params = model.params["gp"][0]
+            stage_params, hist = _run_stage(
+                loss0, stage_params, max_iter, lr_init, n_restarts,
+                jax.random.fold_in(key, i_fid),
+                kernel_spec=gp.kernel, x=x_low,
+            )
+            model.params["gp"][0] = stage_params
+        else:
+            if model.if_nonsubset:
+                subset_x, y_low_p, y_high_p = data_manager.get_nonsubset_fill_data(
+                    model, i_fid - 1, i_fid
+                )
+                sx = jnp.asarray(subset_x, jnp.float32)
+                yl_m = jnp.asarray(y_low_p[0], jnp.float32)
+                yl_v = jnp.asarray(y_low_p[1], jnp.float32)
+                yh_m = jnp.asarray(y_high_p[0], jnp.float32)
+                yh_v = jnp.asarray(y_high_p[1], jnp.float32)
+                gp = model.gp_list[i_fid]
+
+                rho0 = model.params["rho"][i_fid - 1]
+                shift, scale = _residual_norm(yh_m - rho0 * yl_m)
+                model.stage_norm[i_fid] = (shift, scale)
+
+                def loss_i(p, gp=gp, sx=sx, yl_m=yl_m, yl_v=yl_v, yh_m=yh_m,
+                           yh_v=yh_v, shift=shift, scale=scale):
+                    rho = p["rho"]
+                    res_mean = (yh_m - rho * yl_m - shift) / scale
+                    res_var = jnp.abs(yh_v - rho * yl_v) / scale**2
+                    return gp.nll(p["gp"], sx, res_mean, y_var=res_var)
+
+            else:
+                _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
+                    i_fid - 1, i_fid, normal=True
+                )
+                sx = jnp.asarray(subset_x, jnp.float32)
+                yl = jnp.asarray(y_low, jnp.float32)
+                yh = jnp.asarray(y_high, jnp.float32)
+                gp = model.gp_list[i_fid]
+
+                rho0 = model.params["rho"][i_fid - 1]
+                shift, scale = _residual_norm(yh - rho0 * yl)
+                model.stage_norm[i_fid] = (shift, scale)
+
+                def loss_i(p, gp=gp, sx=sx, yl=yl, yh=yh, shift=shift, scale=scale):
+                    res_mean = (yh - p["rho"] * yl - shift) / scale
+                    return gp.nll(p["gp"], sx, res_mean)
+
+            stage_params = {
+                "gp": model.params["gp"][i_fid],
+                "rho": model.params["rho"][i_fid - 1],
+            }
+            stage_params, hist = _run_stage(
+                loss_i, stage_params, max_iter, lr_init, n_restarts,
+                jax.random.fold_in(key, i_fid),
+                kernel_spec=gp.kernel, x=sx, gp_field="gp",
+            )
+            model.params["gp"][i_fid] = stage_params["gp"]
+            model.params["rho"][i_fid - 1] = stage_params["rho"]
+
+            # register the final residual dataset for the prediction cascade
+            # (`AR_autoRegression.py:131-132`)
+            # register the standardized residual dataset; forward rescales
+            # by stage_norm when recombining
+            rho = stage_params["rho"]
+            shift, scale = model.stage_norm[i_fid]
+            if model.if_nonsubset:
+                res_mean = np.asarray((yh_m - rho * yl_m - shift) / scale)
+                res_var = np.asarray(jnp.abs(yh_v - rho * yl_v) / scale**2)
+                data_manager.add_data(
+                    raw_fidelity_name=f"res-{i_fid}",
+                    fidelity_index=None,
+                    x=np.asarray(sx),
+                    y=[res_mean, res_var],
+                )
+            else:
+                res_mean = np.asarray((yh - rho * yl - shift) / scale)
+                data_manager.add_data(
+                    raw_fidelity_name=f"res-{i_fid}",
+                    fidelity_index=None,
+                    x=np.asarray(sx),
+                    y=[res_mean, None],
+                )
+        histories.append(hist)
+        if debugger is not None:
+            debugger.record_stage(i_fid, hist)
+    return histories
+
+
+def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
+               kernel_spec=None, x=None, gp_field=None):
+    """Run one stage's Adam scan; with restarts, vmap over a batch of
+    initializations.  When ``kernel_spec``/``x`` are given, the batch is the
+    deterministic length-scale ladder (`train/fit.py:gp_restart_batch`)
+    applied to the GP subtree (``params[gp_field]`` or ``params`` itself);
+    otherwise random jitter."""
+    if n_restarts <= 1:
+        result = fit(loss_fn, params, steps=steps, lr=lr)
+        return result.params, result.losses
+    if kernel_spec is not None and x is not None:
+        gp_params = params[gp_field] if gp_field else params
+        gp_inits = gp_restart_batch(kernel_spec, gp_params, x, n_restarts, key)
+        if gp_field:
+            inits = [{**params, gp_field: g} for g in gp_inits]
+        else:
+            inits = gp_inits
+        batch = stack_params(inits)
+    else:
+        batch = perturb_params(key, params, n=n_restarts)
+    best, result = fit_restarts(loss_fn, batch, steps=steps, lr=lr)
+    return best, result.losses
+
+
+def _residual_norm(res) -> tuple:
+    """(shift, scale) for per-stage target standardization; scale floored to
+    avoid degenerate zero-residual stages."""
+    shift = float(jnp.mean(res))
+    scale = float(jnp.std(res))
+    if not np.isfinite(scale) or scale < 1e-8:
+        shift, scale = 0.0, 1.0
+    return shift, scale

@@ -1,0 +1,342 @@
+"""CAR / ContinuAR: continuous-fidelity autoregression.
+
+TPU-native re-design of
+`FidelityFusion_Models/CAR_ContinuousAutoRegression.py:14-143` (staged CAR)
+and `CAR_ContinuousAutoRegression_Large.py:14-143` (joint "CAR-large"):
+
+* Staged CAR: fidelity-0 base GP + per-step residual GPs whose kernel is a
+  base kernel times a Monte-Carlo integrated fidelity factor over the
+  continuous fidelity variable z in [i, i+1] (`fidelity_kernel_MCMC`,
+  CAR...py:14-69), with one *global* trainable coupling parameter ``b``
+  shared by all residual kernels and the recombination.
+
+* CAR-large: one joint GP over inputs ``[x, s]`` (s = fidelity indicator)
+  whose kernel multiplies k_x(x,x') by the double integral
+
+      F(s1, s2) = int_0^s1 int_0^s2 exp(-b(s1-z1) - b(s2-z2)
+                                        - (z1-z2)^2 / (2 l_z^2)) dz1 dz2
+
+  evaluated by fixed-sample Monte Carlo (the ContinuAR construction; the
+  reference's `fidelity_kernel_MC` implements a garbled variant of this
+  integral — we implement the stated integral cleanly).
+
+Consistency note: like AR, the reference combines prediction as
+``y_lo + b*y_res`` while training the residual as ``y_hi - exp(b)*y_lo``
+(`CAR...py:106-107` vs `:134`); we use the consistent pair
+``res = y_hi - exp(b)*y_lo`` / ``y_hi = exp(b)*y_lo + y_res``.
+MC z-draws use explicit PRNG constants (no global RNG reseeding).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fidelityfusion_tpu.models.cigp import GPBasic
+from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
+from fidelityfusion_tpu.models.ar import _run_stage, _residual_norm, stage_x
+from fidelityfusion_tpu.ops.kernels import Kernel, MCFidelityKernel
+from fidelityfusion_tpu.train.fit import fit
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousFidelityKernel(Kernel):
+    """Joint-input kernel for CAR-large: k([x,s],[x',s']) =
+    |sv| * F(s, s') * k_x(x, x') with the ContinuAR double integral
+
+        F(s1,s2) = int_0^s1 int_0^s2 exp(-b(s1-z1) - b(s2-z2)) k_z(z1,z2) dz1 dz2
+
+    Estimated PSD-BY-CONSTRUCTION via random Fourier features of the SE
+    factor k_z plus shared MC samples of the z-integrals:
+
+        F(s1,s2) ~= phi(s1)^T phi(s2),
+        phi_w(s) = s * mean_t[ e^{-b s (1-t)} (cos, sin)(w s t / l_z) ]
+
+    A plain two-sample MC estimate of the double integral (the reference's
+    `fidelity_kernel_MC`, `CAR_..._Large.py:14-88`) is INDEFINITE — its
+    negative eigenvalues break the f32 Cholesky once the trained noise
+    shrinks below them; the feature-map form is exactly PSD and reduces to
+    MXU matmuls.
+    """
+
+    base: Kernel
+    n_features: int = 64
+    n_mc: int = 64
+    seed: int = 105
+    eps: float = 1e-3
+
+    def init_params(self, input_dim: int):
+        key = jax.random.PRNGKey(self.seed)
+        kw, kt = jax.random.split(key)
+        return {
+            "base": self.base.init_params(input_dim),
+            "length_scale_z": jnp.ones((1,), jnp.float32),
+            "signal_variance": jnp.ones((1,), jnp.float32),
+            "b": jnp.asarray(1.0, jnp.float32),
+            "_w": jax.random.normal(kw, (self.n_features,)),
+            "_t": jax.random.uniform(kt, (self.n_mc,)),
+        }
+
+    def _features(self, params, sv):
+        """(n, 2*n_features) fidelity feature map phi(s)."""
+        lz = jnp.abs(params["length_scale_z"][0]) + self.eps
+        b = params["b"]
+        w = params["_w"]  # (F,)
+        t = params["_t"]  # (T,)
+        s = sv.reshape(-1, 1, 1)  # (n, 1, 1)
+        decay = jnp.exp(jnp.minimum(-b * s * (1.0 - t[None, :, None]), 20.0))
+        phase = w[None, None, :] * s * t[None, :, None] / lz  # (n, T, F)
+        cos_f = jnp.mean(decay * jnp.cos(phase), axis=1)  # (n, F)
+        sin_f = jnp.mean(decay * jnp.sin(phase), axis=1)
+        feats = jnp.concatenate([cos_f, sin_f], axis=-1) * sv.reshape(-1, 1)
+        return feats / jnp.sqrt(jnp.asarray(self.n_features, jnp.float32))
+
+    def apply(self, params, x1, x2):
+        s1 = x1[:, -1]
+        s2 = x2[:, -1]
+        xs1 = x1[:, :-1]
+        xs2 = x2[:, :-1]
+        f1 = self._features(params, s1)
+        f2 = self._features(params, s2)
+        factor = jnp.dot(f1, f2.T, preferred_element_type=jnp.float32)
+        return (
+            jnp.abs(params["signal_variance"][0])
+            * factor
+            * self.base.apply(params["base"], xs1, xs2)
+        )
+
+    def set_lengthscales(self, params, ls):
+        out = dict(params)
+        out["base"] = self.base.set_lengthscales(params["base"], ls)
+        return out
+
+
+class ContinuousAutoRegression:
+    """Staged CAR (`CAR_ContinuousAutoRegression.py:72-143`)."""
+
+    def __init__(
+        self,
+        fidelity_num: int,
+        kernel_list: Sequence[Kernel],
+        b_init: float = 1.0,
+        input_dim: int = 1,
+    ):
+        self.fidelity_num = fidelity_num
+        self.input_dim = input_dim
+        self.gp_list: List[GPBasic] = [GPBasic(kernel=kernel_list[0])]
+        for i in range(fidelity_num - 1):
+            res_kernel = MCFidelityKernel(
+                base=kernel_list[i + 1], lf=float(i), hf=float(i + 1)
+            )
+            self.gp_list.append(GPBasic(kernel=res_kernel))
+        self.params = {
+            "gp": [
+                gp.init_params(input_dim) for gp in self.gp_list
+            ],
+            "b": jnp.asarray(b_init, jnp.float32),
+        }
+        # per-stage residual standardization; see models/ar.py
+        self.stage_norm = [(0.0, 1.0)] * fidelity_num
+
+    @staticmethod
+    def _bind_b(gp_params, b):
+        """Residual kernels share the global b (`CAR...py:74,88`)."""
+        out = dict(gp_params)
+        k = dict(out["kernel"])
+        if "b" in k:
+            k["b"] = b
+        out["kernel"] = k
+        return out
+
+    def forward(
+        self,
+        data_manager: MultiFidelityDataManager,
+        x_test: jnp.ndarray,
+        to_fidelity: Optional[int] = None,
+        denormalize: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Cascade; ``x_test`` RAW, per-stage x-normalization (see
+        `models/ar.py`)."""
+        fidelity_level = (
+            to_fidelity if to_fidelity is not None else self.fidelity_num - 1
+        )
+        x_raw = x_test
+        b = self.params["b"]
+        rho = jnp.exp(b)
+        mean = cov = None
+        for i in range(fidelity_level + 1):
+            xt_i = stage_x(data_manager, i, x_raw)
+            if i == 0:
+                x_tr, y_tr = data_manager.get_data(0, normal=True)
+                mean, cov = self.gp_list[0].predict(
+                    self.params["gp"][0],
+                    jnp.asarray(x_tr, jnp.float32),
+                    jnp.asarray(y_tr, jnp.float32),
+                    xt_i,
+                )
+            else:
+                x_tr, y_tr = data_manager.get_data_by_name(f"res-{i}")
+                y_mean = y_tr[0] if isinstance(y_tr, list) else y_tr
+                p = self._bind_b(self.params["gp"][i], b)
+                m_res, c_res = self.gp_list[i].predict(
+                    p,
+                    jnp.asarray(x_tr, jnp.float32),
+                    jnp.asarray(y_mean, jnp.float32),
+                    xt_i,
+                )
+                shift, scale = self.stage_norm[i]
+                mean = rho * mean + (shift + scale * m_res)
+                cov = rho**2 * cov + scale**2 * c_res
+        if denormalize:
+            norm = data_manager.normalizelayer[fidelity_level]
+            mean = mean * float(norm.y_std) + float(norm.y_mean)
+            cov = cov * float(norm.y_std) ** 2
+        return mean, cov
+
+    __call__ = forward
+
+
+def train_CAR(
+    model: ContinuousAutoRegression,
+    data_manager: MultiFidelityDataManager,
+    max_iter: int = 100,
+    lr_init: float = 1e-2,
+    n_restarts: int = 4,
+    seed: int = 0,
+    debugger=None,
+) -> List[jnp.ndarray]:
+    """Staged training (`CAR...py:120-143`, subset path): stage i >= 1 fits
+    the residual ``y_hi - exp(b)*y_lo`` on the overlap with b shared and
+    trained through every residual stage."""
+    histories = []
+    key = jax.random.PRNGKey(seed)
+    for i_fid in range(model.fidelity_num):
+        gp = model.gp_list[i_fid]
+        if i_fid == 0:
+            x_low, y_low = data_manager.get_data(0, normal=True)
+            x_low = jnp.asarray(x_low, jnp.float32)
+            y_low = jnp.asarray(y_low, jnp.float32)
+
+            def loss(p, gp=gp, x=x_low, y=y_low):
+                return gp.nll(p, x, y)
+
+            new_p, hist = _run_stage(
+                loss, model.params["gp"][0], max_iter, lr_init, n_restarts,
+                jax.random.fold_in(key, i_fid),
+                kernel_spec=gp.kernel, x=x_low,
+            )
+            model.params["gp"][0] = new_p
+        else:
+            _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
+                i_fid - 1, i_fid, normal=True
+            )
+            sx = jnp.asarray(subset_x, jnp.float32)
+            yl = jnp.asarray(y_low, jnp.float32)
+            yh = jnp.asarray(y_high, jnp.float32)
+
+            shift, scale = _residual_norm(yh - jnp.exp(model.params["b"]) * yl)
+            model.stage_norm[i_fid] = (shift, scale)
+
+            def loss(p, gp=gp, sx=sx, yl=yl, yh=yh, shift=shift, scale=scale):
+                res = (yh - jnp.exp(p["b"]) * yl - shift) / scale
+                gp_p = ContinuousAutoRegression._bind_b(p["gp"], p["b"])
+                return gp.nll(gp_p, sx, res)
+
+            stage_p = {"gp": model.params["gp"][i_fid], "b": model.params["b"]}
+            stage_p, hist = _run_stage(
+                loss, stage_p, max_iter, lr_init, n_restarts,
+                jax.random.fold_in(key, i_fid),
+                kernel_spec=gp.kernel, x=sx, gp_field="gp",
+            )
+            model.params["gp"][i_fid] = stage_p["gp"]
+            model.params["b"] = stage_p["b"]
+            shift, scale = model.stage_norm[i_fid]
+            res_final = np.asarray(
+                (yh - jnp.exp(stage_p["b"]) * yl - shift) / scale
+            )
+            data_manager.add_data(
+                raw_fidelity_name=f"res-{i_fid}",
+                fidelity_index=None,
+                x=np.asarray(sx),
+                y=[res_final, None],
+            )
+        histories.append(hist)
+        if debugger is not None:
+            debugger.record_stage(i_fid, hist)
+    return histories
+
+
+class ContinuousAutoRegressionLarge:
+    """Joint ("large") CAR (`CAR_ContinuousAutoRegression_Large.py:90-143`):
+    one GP over ``[x, s]`` trained on all fidelities at once."""
+
+    def __init__(self, fidelity_num: int, kernel_x: Kernel, b_init: float = 1.0,
+                 input_dim: int = 1):
+        self.fidelity_num = fidelity_num
+        self.input_dim = input_dim
+        # n grows with all fidelities stacked; f32 roundoff on the joint
+        # Gram needs a norm-relative nugget (1e-4 * mean diag)
+        self.gp = GPBasic(
+            kernel=ContinuousFidelityKernel(base=kernel_x),
+            jitter=1e-4,
+            relative_jitter=True,
+        )
+        self.params = self.gp.init_params(input_dim)
+        self.params["kernel"]["b"] = jnp.asarray(b_init, jnp.float32)
+
+    def _joint_train_data(self, data_manager):
+        xs, ys = [], []
+        for i in range(self.fidelity_num):
+            x, y = data_manager.get_data(i, normal=True)
+            s = np.full((len(x), 1), i + 1.0)
+            xs.append(np.concatenate([np.asarray(x), s], axis=1))
+            ys.append(np.asarray(y))
+        return (
+            jnp.asarray(np.concatenate(xs), jnp.float32),
+            jnp.asarray(np.concatenate(ys), jnp.float32),
+        )
+
+    def forward(self, data_manager, x_test, to_fidelity: Optional[int] = None,
+                denormalize: bool = True):
+        """``x_test`` RAW; normalized with the target fidelity's x-stats
+        (the joint train set mixes per-fidelity x normalizations, matching
+        the reference's construction at `CAR_..._Large.py:100-117`)."""
+        x_tr, y_tr = self._joint_train_data(data_manager)
+        fidelity_level = (
+            to_fidelity if to_fidelity is not None else self.fidelity_num - 1
+        )
+        norm = data_manager.normalizelayer[fidelity_level]
+        xt_n = jnp.asarray(norm.normalize_x(np.asarray(x_test)), jnp.float32)
+        xt = jnp.concatenate(
+            [xt_n, jnp.full((len(xt_n), 1), float(fidelity_level + 1), jnp.float32)],
+            axis=1,
+        )
+        mean, cov = self.gp.predict(self.params, x_tr, y_tr, xt)
+        if denormalize:
+            mean = mean * float(norm.y_std) + float(norm.y_mean)
+            cov = cov * float(norm.y_std) ** 2
+        return mean, cov
+
+    __call__ = forward
+
+
+def train_CAR_large(
+    model: ContinuousAutoRegressionLarge,
+    data_manager: MultiFidelityDataManager,
+    max_iter: int = 100,
+    lr_init: float = 1e-2,
+) -> jnp.ndarray:
+    """One joint NLML over the concatenated multi-fidelity dataset
+    (`CAR_..._Large.py:121-143`)."""
+    x_tr, y_tr = model._joint_train_data(data_manager)
+
+    def loss(p):
+        return model.gp.nll(p, x_tr, y_tr)
+
+    result = fit(loss, model.params, steps=max_iter, lr=lr_init)
+    model.params = result.params
+    return result.losses

@@ -1,0 +1,174 @@
+"""CIGP: conditionally-independent multi-output exact GP (the workhorse).
+
+TPU-native re-design of `GaussianProcess/cigp_v10.py:17-69` (and the
+config-driven `MFGP_ver2023May/base_gp/cigp.py`): one shared kernel and
+scalar noise across all output columns; NLML sums over columns.  The model
+is a static spec + parameter pytree — no data is stored in the model
+(matching the reference's stateless philosophy, `gp_basic.py:16-19`).
+
+Noise parametrization follows the reference: ``noise = exp(log_beta)^-1``
+(`cigp_v10.py:31`), with ``log_beta`` trainable and init 1.0.
+
+All functions are pure and jit/vmap/grad-safe; ``mask`` enables padded
+static-shape training (see `ops/linalg.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from fidelityfusion_tpu.ops import linalg
+from fidelityfusion_tpu.ops.kernels import Kernel
+
+JITTER = linalg.JITTER
+
+
+@dataclasses.dataclass(frozen=True)
+class CIGP:
+    """Static spec for a conditionally-independent multi-output GP."""
+
+    kernel: Kernel
+    jitter: float = JITTER
+    relative_jitter: bool = False  # JITTER * mean(K) trick (gp_computation_pack.py:125)
+
+    def init_params(self, input_dim: int, log_beta: float = 1.0):
+        return {
+            "kernel": self.kernel.init_params(input_dim),
+            "log_beta": jnp.asarray([log_beta], jnp.float32),
+        }
+
+    def noise(self, params) -> jnp.ndarray:
+        return jnp.exp(-params["log_beta"][0])
+
+    def _sigma(self, params, x, y_var, mask):
+        K = self.kernel.apply(params["kernel"], x, x)
+        return linalg.assemble_sigma(
+            K,
+            self.noise(params),
+            jitter=self.jitter,
+            y_var=y_var,
+            mask=mask,
+            relative_jitter=self.relative_jitter,
+        )
+
+    def nll(
+        self,
+        params,
+        x: jnp.ndarray,
+        y: jnp.ndarray,
+        y_var: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Negative log marginal likelihood (positive scalar to minimize).
+
+        ``y_var`` — optional per-row observed noise variance vector, the
+        reference's ``y = [mean, var]`` convention (`cigp_v10.py:59-60`).
+        NB: the reference returns the *negated* NLL and train loops negate
+        again; here nll is the loss directly.
+        """
+        Sigma = self._sigma(params, x, y_var, mask)
+        return linalg.mvn_nll(Sigma, y, mask=mask)
+
+    def predict(
+        self,
+        params,
+        x_train: jnp.ndarray,
+        y_train: jnp.ndarray,
+        x_test: jnp.ndarray,
+        y_var: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior mean and full test covariance (+ noise on the diagonal),
+        matching `cigp_v10.py:24-48` (train-noise var added to predictive var).
+        """
+        Sigma = self._sigma(params, x_train, y_var, mask)
+        K_s = self.kernel.apply(params["kernel"], x_train, x_test)
+        K_ss = self.kernel.apply(params["kernel"], x_test, x_test)
+        mean, cov = linalg.posterior(Sigma, y_train, K_s, K_ss, mask=mask)
+        # clamp tiny negative f32-roundoff variances before adding noise
+        d = jnp.diagonal(cov)
+        cov = cov + jnp.diag(jnp.maximum(d, 0.0) - d)
+        cov = cov + self.noise(params)
+        return mean, cov
+
+    def predict_diag(
+        self,
+        params,
+        x_train: jnp.ndarray,
+        y_train: jnp.ndarray,
+        x_test: jnp.ndarray,
+        y_var: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior mean and diagonal-only variance — O(n^2 m) fast path
+        for acquisition scoring (new capability vs the reference, which
+        always materializes the full test covariance)."""
+        Sigma = self._sigma(params, x_train, y_var, mask)
+        K_s = self.kernel.apply(params["kernel"], x_train, x_test)
+        k_ss = self.kernel.diag(params["kernel"], x_test)
+        mean, var = linalg.posterior_diag(Sigma, y_train, K_s, k_ss, mask=mask)
+        return mean, var + self.noise(params)
+
+
+@dataclasses.dataclass(frozen=True)
+class GPBasic:
+    """Exact GP with directly-parametrized noise std (`gp_basic.py:15-153`).
+
+    ``noise = noise_variance^2`` (the reference squares the raw parameter,
+    `gp_basic.py:64,117`); no jitter in the reference — a small default
+    jitter is added here for f32 Cholesky robustness on TPU.
+
+    The reference's `log_likelihood` 'cholesky3' branch computes its
+    quadratic term via `cholesky_solve` (i.e. y^T K^-2 y, `gp_basic.py:137-144`)
+    — a bug; this implementation uses the correct y^T K^-1 y form.
+    """
+
+    kernel: Kernel
+    jitter: float = JITTER
+    relative_jitter: bool = False
+
+    def init_params(self, input_dim: int, noise_variance: float = 1.0):
+        return {
+            "kernel": self.kernel.init_params(input_dim),
+            "noise_variance": jnp.asarray([noise_variance], jnp.float32),
+        }
+
+    def noise(self, params) -> jnp.ndarray:
+        return params["noise_variance"][0] ** 2
+
+    def _sigma(self, params, x, y_var, mask):
+        K = self.kernel.apply(params["kernel"], x, x)
+        return linalg.assemble_sigma(
+            K,
+            self.noise(params),
+            jitter=self.jitter,
+            y_var=y_var,
+            mask=mask,
+            relative_jitter=self.relative_jitter,
+        )
+
+    def nll(self, params, x, y, y_var=None, mask=None) -> jnp.ndarray:
+        Sigma = self._sigma(params, x, y_var, mask)
+        return linalg.mvn_nll(Sigma, y, mask=mask)
+
+    def predict(
+        self, params, x_train, y_train, x_test, y_var=None, mask=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior mean/full-covariance; unlike CIGP the reference does
+        NOT add the noise variance to the predictive covariance here
+        (`gp_basic.py:78-92`)."""
+        Sigma = self._sigma(params, x_train, y_var, mask)
+        K_s = self.kernel.apply(params["kernel"], x_train, x_test)
+        K_ss = self.kernel.apply(params["kernel"], x_test, x_test)
+        return linalg.posterior(Sigma, y_train, K_s, K_ss, mask=mask)
+
+    def predict_diag(
+        self, params, x_train, y_train, x_test, y_var=None, mask=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        Sigma = self._sigma(params, x_train, y_var, mask)
+        K_s = self.kernel.apply(params["kernel"], x_train, x_test)
+        k_ss = self.kernel.diag(params["kernel"], x_test)
+        return linalg.posterior_diag(Sigma, y_train, K_s, k_ss, mask=mask)

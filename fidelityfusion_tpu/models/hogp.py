@@ -1,0 +1,159 @@
+"""HOGP: High-Order GP for tensor-valued outputs via Kronecker structure.
+
+TPU-native re-design of `GaussianProcess/hogp_simple.py:21-121` (and the
+config-driven `MFGP_ver2023May/base_gp/hogp.py`): the covariance over the
+flattened output ``vec(Y)`` is ``K_0(x,x) (x) K_1 (x) ... (x) K_M`` where
+``K_m`` are Grams over per-output-mode integer grids.  The Kronecker
+matrix (size n*prod(d_m)) is never materialized: the NLML uses per-mode
+symmetric eigendecompositions
+
+    Sigma = (V_0 (x) ... (x) V_M) diag(A) (V_0 (x) ... (x) V_M)^T,
+    A[i_0..i_M] = prod_m lambda_m[i_m] + noise
+
+and everything reduces to chains of per-mode matmuls (MXU-friendly
+``multi_mode_dot``).  Noise parametrization matches the reference:
+``noise = noise_variance^{-1}`` (`hogp_simple.py:96`).
+
+Differences from the reference (deliberate):
+  * The reference's `forward` depends on state cached by the *last*
+    `log_likelihood` call (`hogp_simple.py:46-71` uses `self.K/self.A/self.g`).
+    Here `nll_with_state` returns an explicit `HOGPState` that `predict`
+    consumes — pure-functional, jit/vmap-safe.
+  * The reference's predictive variance formula (`hogp_simple.py:62-69`)
+    *adds* an `A^1`-weighted eigen term to the prior diagonal, which is not
+    the GP posterior variance.  We implement the exact posterior variance
+    diag(K_**) - diag(K_*^T Sigma^{-1} K_*) through the same eigenbasis.
+  * All mode kernels share one parameter set, as in the reference (which
+    appends the *same* kernel module for every mode, `hogp_simple.py:29-31`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from fidelityfusion_tpu.ops import linalg
+from fidelityfusion_tpu.ops.kernels import Kernel
+from fidelityfusion_tpu.ops.kron import eigh_pairs, multi_mode_dot, rank1_tucker
+
+JITTER = linalg.JITTER
+
+
+class HOGPState(NamedTuple):
+    """Posterior cache produced by the NLML pass (explicit version of the
+    reference's `self.K/K_eigen/A/g` attributes)."""
+
+    K_modes: tuple  # mode Grams K_1..K_M (d_m, d_m)
+    eigvecs: tuple  # V_0..V_M
+    eigvals: tuple  # lambda_0..lambda_M
+    A: jnp.ndarray  # eigenvalue tensor + noise, shape (n, d_1..d_M)
+    g: jnp.ndarray  # Sigma^{-1} y reshaped as a tensor
+
+
+@dataclasses.dataclass(frozen=True)
+class HOGP:
+    """Static spec for the high-order GP."""
+
+    kernel: Kernel
+    output_shape: Tuple[int, ...]
+    jitter: float = JITTER
+
+    def init_params(self, input_dim: int, noise_variance: float = 1.0):
+        del input_dim  # mode kernels share params; ls of dim 1 broadcasts
+        return {
+            "kernel": self.kernel.init_params(1),
+            "noise_variance": jnp.asarray([noise_variance], jnp.float32),
+        }
+
+    def grids(self) -> List[jnp.ndarray]:
+        """Integer grids per output mode (`hogp_simple.py:32-34`)."""
+        return [
+            jnp.arange(d, dtype=jnp.float32).reshape(-1, 1)
+            for d in self.output_shape
+        ]
+
+    def noise(self, params) -> jnp.ndarray:
+        # reference: noise_variance.pow(-1) (`hogp_simple.py:96`)
+        return 1.0 / params["noise_variance"][0]
+
+    def nll_with_state(
+        self,
+        params,
+        x_train: jnp.ndarray,
+        y_train: jnp.ndarray,
+        y_var: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, HOGPState]:
+        """Per-element-normalized NLML (`hogp_simple.py:73-113`) and the
+        posterior state.  ``y_train`` has shape (n, d_1, ..., d_M);
+        ``y_var`` an optional per-sample observed-noise vector added to the
+        diagonal of K_0 (the reference adds a full matrix, `:83-84`)."""
+        kp = params["kernel"]
+        K0 = self.kernel.apply(kp, x_train, x_train)
+        if y_var is not None:
+            K0 = K0 + jnp.diag(y_var)
+        K0 = K0 + self.jitter * jnp.eye(K0.shape[0], dtype=K0.dtype)
+        lam0, V0 = eigh_pairs(K0)
+        K_modes, eigvals, eigvecs = [], [lam0], [V0]
+        for g in self.grids():
+            Km = self.kernel.apply(kp, g, g)
+            lam, V = eigh_pairs(Km)
+            K_modes.append(Km)
+            eigvals.append(lam)
+            eigvecs.append(V)
+
+        A = rank1_tucker(eigvals) + self.noise(params)
+        T1 = multi_mode_dot(y_train, [V.T for V in eigvecs])
+        # b^T b with orthogonal back-rotation == sum(T1^2 / A)
+        quad = jnp.sum(T1**2 / A)
+        g_tensor = multi_mode_dot(T1 / A, list(eigvecs))
+
+        nd = float(jnp.size(y_train))
+        loss = 0.5 * (
+            nd * jnp.log(2.0 * jnp.pi) + jnp.sum(jnp.log(A)) + quad
+        )
+        loss = loss / nd  # reference normalizes by element count (:107-112)
+        state = HOGPState(
+            K_modes=tuple(K_modes),
+            eigvecs=tuple(eigvecs),
+            eigvals=tuple(eigvals),
+            A=A,
+            g=g_tensor,
+        )
+        return loss, state
+
+    def nll(self, params, x_train, y_train, y_var=None) -> jnp.ndarray:
+        return self.nll_with_state(params, x_train, y_train, y_var)[0]
+
+    def predict(
+        self,
+        params,
+        state: HOGPState,
+        x_train: jnp.ndarray,
+        x_test: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior mean and diagonal variance, shapes (m, d_1..d_M).
+
+        mean = K_* Sigma^{-1} vec(y)  via mode products with the cached g
+        (`hogp_simple.py:52`); variance is the exact posterior diagonal
+        computed in the shared eigenbasis.
+        """
+        kp = params["kernel"]
+        K_star = self.kernel.apply(kp, x_test, x_train)  # (m, n)
+        mean = multi_mode_dot(state.g, [K_star] + list(state.K_modes))
+
+        # prior diagonal: k(x*,x*) outer diag(K_1) outer ... diag(K_M)
+        diag_x = self.kernel.diag(kp, x_test)
+        prior_diag = rank1_tucker(
+            [diag_x] + [jnp.diagonal(Km) for Km in state.K_modes]
+        )
+
+        # explained term: multi_mode_dot(1/A, [(K_* V_0)^2, (K_m V_m)^2 ...])
+        P0 = (K_star @ state.eigvecs[0]) ** 2
+        P_modes = [
+            (Km @ V) ** 2 for Km, V in zip(state.K_modes, state.eigvecs[1:])
+        ]
+        explained = multi_mode_dot(1.0 / state.A, [P0] + P_modes)
+        var_diag = jnp.maximum(prior_diag - explained, 1e-12) + self.noise(params)
+        return mean, var_diag

@@ -1,0 +1,73 @@
+"""End-to-end AR multi-fidelity tests on the seeded toy sin fixture
+(the reference's canonical demo, `AR_autoRegression.py:143-191`)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fidelityfusion_tpu.models.ar import AR, train_AR
+from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
+from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+
+def build_manager(toy_sin_data):
+    initial = [
+        {
+            "raw_fidelity_name": str(i),
+            "fidelity_indicator": i,
+            "X": x,
+            "Y": y,
+        }
+        for i, (x, y) in enumerate(toy_sin_data["train"])
+    ]
+    return MultiFidelityDataManager(initial)
+
+
+def _run_ar(toy_sin_data, if_nonsubset, max_iter=300, lr=5e-2):
+    dm = build_manager(toy_sin_data)
+    fidelity_num = 3
+    kernel_list = [SquaredExponentialKernel() for _ in range(fidelity_num)]
+    model = AR(
+        fidelity_num=fidelity_num,
+        kernel_list=kernel_list,
+        rho_init=1.0,
+        if_nonsubset=if_nonsubset,
+        input_dim=1,
+    )
+    train_AR(model, dm, max_iter=max_iter, lr_init=lr)
+    x_test, y_test = toy_sin_data["test"]
+    mean, cov = model.forward(dm, jnp.asarray(x_test, jnp.float32))
+    var = np.diagonal(np.asarray(cov))
+    rmse = float(np.sqrt(np.mean((np.asarray(mean).ravel() - y_test.ravel()) ** 2)))
+    return rmse, var
+
+
+def test_ar_subset_toy(toy_sin_data):
+    rmse, var = _run_ar(toy_sin_data, if_nonsubset=False)
+    # Reference CPU run achieves ~0.03-0.1 RMSE on this fixture at 200 iters.
+    assert rmse < 0.1, f"AR subset rmse {rmse}"
+    assert np.all(np.asarray(var) > 0)
+
+
+def test_ar_nonsubset_toy(toy_sin_data):
+    rmse, _ = _run_ar(toy_sin_data, if_nonsubset=True)
+    assert rmse < 0.3, f"AR nonsubset rmse {rmse}"
+
+
+def test_ar_to_fidelity_cascade(toy_sin_data):
+    dm = build_manager(toy_sin_data)
+    kernel_list = [SquaredExponentialKernel() for _ in range(3)]
+    model = AR(3, kernel_list, input_dim=1)
+    train_AR(model, dm, max_iter=30, lr_init=1e-2)
+    xt = jnp.asarray(toy_sin_data["test"][0], jnp.float32)
+    m0, _ = model.forward(dm, xt, to_fidelity=0)
+    m2, _ = model.forward(dm, xt, to_fidelity=2)
+    assert m0.shape == m2.shape
+    assert not np.allclose(np.asarray(m0), np.asarray(m2))
+
+
+def test_ar_restarts(toy_sin_data):
+    dm = build_manager(toy_sin_data)
+    kernel_list = [SquaredExponentialKernel() for _ in range(3)]
+    model = AR(3, kernel_list, input_dim=1)
+    hist = train_AR(model, dm, max_iter=30, lr_init=1e-2, n_restarts=3)
+    assert len(hist) == 3

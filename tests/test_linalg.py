@@ -1,0 +1,144 @@
+"""NLML / posterior math vs scipy float64 references, and mask-padding
+equivalence (the static-shape mechanism for growing datasets)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import linalg as sla
+from scipy.stats import multivariate_normal
+
+from fidelityfusion_tpu.ops import linalg as L
+from fidelityfusion_tpu.ops.kernels import ARDKernel
+
+
+@pytest.fixture
+def problem(rng):
+    n, d = 20, 2
+    x = rng.standard_normal((n, d))
+    spec = ARDKernel()
+    p = spec.init_params(d)
+    K = np.asarray(spec(p, jnp.asarray(x, jnp.float32), jnp.asarray(x, jnp.float32)), np.float64)
+    y = rng.standard_normal((n, 1))
+    return K, y
+
+
+def test_mvn_nll_matches_scipy(problem):
+    K, y = problem
+    noise = 0.1
+    Sigma = K + noise * np.eye(len(K))
+    got = float(
+        L.mvn_nll(jnp.asarray(Sigma, jnp.float32), jnp.asarray(y, jnp.float32))
+    )
+    want = -multivariate_normal.logpdf(y.ravel(), mean=np.zeros(len(y)), cov=Sigma)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_mvn_nll_multicolumn_sums(problem, rng):
+    K, _ = problem
+    Sigma = K + 0.1 * np.eye(len(K))
+    y = rng.standard_normal((len(K), 3))
+    got = float(L.mvn_nll(jnp.asarray(Sigma, jnp.float32), jnp.asarray(y, jnp.float32)))
+    want = sum(
+        -multivariate_normal.logpdf(y[:, j], mean=np.zeros(len(y)), cov=Sigma)
+        for j in range(3)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_posterior_matches_direct(problem, rng):
+    K, y = problem
+    noise = 0.05
+    Sigma = K + noise * np.eye(len(K))
+    Ks = rng.standard_normal((len(K), 4))
+    Kss = np.eye(4) * 2.0
+    mu, cov = L.posterior(
+        jnp.asarray(Sigma, jnp.float32),
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(Ks, jnp.float32),
+        jnp.asarray(Kss, jnp.float32),
+    )
+    Kinv = np.linalg.inv(Sigma)
+    np.testing.assert_allclose(np.asarray(mu), Ks.T @ Kinv @ y, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(cov), Kss - Ks.T @ Kinv @ Ks, rtol=1e-3, atol=1e-4
+    )
+
+
+def test_posterior_diag_matches_full(problem, rng):
+    K, y = problem
+    Sigma = K + 0.05 * np.eye(len(K))
+    Ks = rng.standard_normal((len(K), 6))
+    Kss = np.eye(6) * 2.0
+    mu_f, cov_f = L.posterior(
+        jnp.asarray(Sigma, jnp.float32),
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(Ks, jnp.float32),
+        jnp.asarray(Kss, jnp.float32),
+    )
+    mu_d, var_d = L.posterior_diag(
+        jnp.asarray(Sigma, jnp.float32),
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(Ks, jnp.float32),
+        jnp.asarray(np.diagonal(Kss), jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_f), rtol=1e-5)
+    # posterior_diag clamps at zero; compare against the clamped full diag
+    np.testing.assert_allclose(
+        np.asarray(var_d),
+        np.maximum(np.diagonal(np.asarray(cov_f)), 0.0),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_masked_nll_equals_unpadded(problem, rng):
+    """Padding rows with mask must leave the NLML bit-for-bit meaningful:
+    the padded system's likelihood equals the unpadded one."""
+    K, y = problem
+    n = len(K)
+    n_pad = 32
+    Sigma_small = jnp.asarray(K, jnp.float32)
+    noise = jnp.asarray(0.1, jnp.float32)
+
+    full = L.assemble_sigma(Sigma_small, noise)
+    want = float(L.mvn_nll(full, jnp.asarray(y, jnp.float32)))
+
+    Kp = np.zeros((n_pad, n_pad), np.float32)
+    Kp[:n, :n] = K
+    Kp[n:, n:] = rng.standard_normal((n_pad - n, n_pad - n))  # garbage in pad
+    yp = np.zeros((n_pad, 1), np.float32)
+    yp[:n] = y
+    mask = L.row_mask(n, n_pad)
+    Sp = L.assemble_sigma(jnp.asarray(Kp), noise, mask=mask)
+    got = float(L.mvn_nll(Sp, jnp.asarray(yp), mask=mask))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_masked_posterior_equals_unpadded(problem, rng):
+    K, y = problem
+    n = len(K)
+    n_pad = 32
+    Ks = rng.standard_normal((n, 4)).astype(np.float32)
+    Kss = (np.eye(4) * 2.0).astype(np.float32)
+    S = L.assemble_sigma(jnp.asarray(K, jnp.float32), 0.1)
+    mu_w, cov_w = L.posterior(S, jnp.asarray(y, jnp.float32), jnp.asarray(Ks), jnp.asarray(Kss))
+
+    Kp = np.zeros((n_pad, n_pad), np.float32)
+    Kp[:n, :n] = K
+    Ksp = np.zeros((n_pad, 4), np.float32)
+    Ksp[:n] = Ks
+    Ksp[n:] = 7.7  # garbage in pad rows — must be masked away
+    yp = np.zeros((n_pad, 1), np.float32)
+    yp[:n] = y
+    mask = L.row_mask(n, n_pad)
+    Sp = L.assemble_sigma(jnp.asarray(Kp), 0.1, mask=mask)
+    mu_g, cov_g = L.posterior(Sp, jnp.asarray(yp), jnp.asarray(Ksp), jnp.asarray(Kss), mask=mask)
+    np.testing.assert_allclose(np.asarray(mu_g), np.asarray(mu_w), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cov_g), np.asarray(cov_w), rtol=1e-4, atol=1e-5)
+
+
+def test_relative_jitter(problem):
+    K, _ = problem
+    S = L.assemble_sigma(jnp.asarray(K, jnp.float32), 0.0, jitter=1e-6, relative_jitter=True)
+    expected = K + 1e-6 * np.mean(np.diagonal(K)) * np.eye(len(K))
+    np.testing.assert_allclose(np.asarray(S), expected, rtol=1e-4, atol=1e-7)
