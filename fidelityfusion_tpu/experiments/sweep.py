@@ -1,0 +1,118 @@
+"""Experiment sweep harness: models x datasets x seeds x train sizes -> CSV.
+
+TPU-native re-design of the reference sweep scripts
+(`Experiments/GAR_Non_Aligned/exp_non_aligned.py:43-123`,
+`Experiments/CAR_Subset/exp_car.py:18-77`): run a grid of
+(method, dataset, seed, n_high) configurations, record
+r2/rmse/nll/nrmse/time rows, and write
+``<outdir>/<dataset>/<method>_seed_<s>.csv`` exactly like the reference
+so downstream plotting is drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from fidelityfusion_tpu.experiments.load_mfdata import load_data
+from fidelityfusion_tpu.experiments.metrics import calculate_metrix
+from fidelityfusion_tpu.models.ar import AR, train_AR
+from fidelityfusion_tpu.models.nar import NAR, train_NAR
+from fidelityfusion_tpu.models.resgp import ResGP, train_ResGP
+from fidelityfusion_tpu.models.car import ContinuousAutoRegression, train_CAR
+from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
+from fidelityfusion_tpu.ops.kernels import ARDKernel, SquaredExponentialKernel
+
+MODEL_REGISTRY = {
+    "AR": (AR, train_AR),
+    "NAR": (NAR, train_NAR),
+    "ResGP": (ResGP, train_ResGP),
+    "CAR": (ContinuousAutoRegression, train_CAR),
+}
+
+
+def run_single(
+    method: str,
+    dataset: str,
+    seed: int,
+    n_high: int,
+    n_low: int = 100,
+    n_test: int = 100,
+    subset: bool = True,
+    max_iter: int = 200,
+    lr: float = 5e-2,
+    n_restarts: int = 4,
+) -> Dict[str, float]:
+    """Train one (method, dataset, seed, n_high) cell and return the metric
+    row {r2, rmse, nll, nrmse, time} (reference row format,
+    `exp_non_aligned.py:110-116`)."""
+    data = load_data(
+        dataset, n_train_low=n_low, n_train_high=n_high, n_test=n_test,
+        seed=seed, subset=subset,
+    )
+    dm = MultiFidelityDataManager(
+        [
+            {"raw_fidelity_name": "0", "fidelity_indicator": 0,
+             "X": data["x_low"], "Y": data["y_low"]},
+            {"raw_fidelity_name": "1", "fidelity_indicator": 1,
+             "X": data["x_high"], "Y": data["y_high"]},
+        ]
+    )
+    cls, train_fn = MODEL_REGISTRY[method]
+    kernels = [SquaredExponentialKernel() for _ in range(2)]
+    if method == "CAR":
+        kernels = [ARDKernel() for _ in range(2)]
+        model = cls(2, kernels, input_dim=data["x_dim"])
+    else:
+        model = cls(2, kernels, if_nonsubset=not subset, input_dim=data["x_dim"])
+    t0 = time.time()
+    train_fn(model, dm, max_iter=max_iter, lr_init=lr, n_restarts=n_restarts)
+    mean, cov = model.forward(dm, jnp.asarray(data["x_test"], jnp.float32))
+    elapsed = time.time() - t0
+    cov = np.asarray(cov)
+    var = np.diagonal(cov) if cov.ndim == 2 else cov
+    row = calculate_metrix(data["y_test"], np.asarray(mean), var)
+    row["time"] = elapsed
+    return row
+
+
+def run_sweep(
+    methods: Sequence[str],
+    datasets: Sequence[str],
+    seeds: Sequence[int] = (0, 1, 2, 3, 4),
+    n_high_grid: Sequence[int] = (4, 8, 16, 32),
+    outdir: str = "exp_results",
+    **kwargs,
+) -> List[Dict]:
+    """The reference grid protocol: per (dataset, method, seed) write one
+    CSV with a row per n_high (`exp_non_aligned.py:47-123`)."""
+    rows = []
+    for dataset in datasets:
+        for method in methods:
+            for seed in seeds:
+                records = []
+                for n_high in n_high_grid:
+                    row = run_single(method, dataset, seed, n_high, **kwargs)
+                    row.update(
+                        {"method": method, "dataset": dataset, "seed": seed,
+                         "n_high": n_high}
+                    )
+                    records.append(row)
+                    rows.append(row)
+                d = os.path.join(outdir, dataset)
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"{method}_seed_{seed}.csv")
+                with open(path, "w", newline="") as f:
+                    w = csv.DictWriter(
+                        f,
+                        fieldnames=["n_high", "rmse", "nrmse", "r2", "nll", "time"],
+                        extrasaction="ignore",
+                    )
+                    w.writeheader()
+                    w.writerows(records)
+    return rows

@@ -1,0 +1,83 @@
+"""Experiment-harness tests: metrics, zoo loader, one tiny sweep cell."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fidelityfusion_tpu.experiments.load_mfdata import (
+    all_fidelity_pairs,
+    load_data,
+    parse_name,
+)
+from fidelityfusion_tpu.experiments.metrics import calculate_metrix, r2, rmse
+from fidelityfusion_tpu.experiments.sweep import run_single, run_sweep
+
+
+def test_metrics_closed_form():
+    a = np.array([1.0, 2.0, 3.0])
+    p = np.array([1.0, 2.0, 3.0])
+    assert rmse(a, p) == 0.0
+    assert r2(a, p) == 1.0
+    m = calculate_metrix(a, p, np.ones(3))
+    assert m["rmse"] == 0.0 and m["r2"] == 1.0
+    assert np.isfinite(m["nll"])
+
+
+def test_parse_name():
+    assert parse_name("forrester12") == ("forrester", 0, 1)
+    assert parse_name("maolin512") == ("maolin5", 0, 1)
+    assert parse_name("tl112") == ("tl1", 0, 1)
+    with pytest.raises((ValueError, KeyError)):
+        parse_name("nosuchfn12")
+
+
+def test_all_fidelity_pairs():
+    pairs = all_fidelity_pairs("forrester")
+    assert "forrester12" in pairs and "forrester34" in pairs
+    assert len(pairs) == 6  # C(4,2)
+
+
+def test_load_data_subset_structure():
+    d = load_data("tl112", n_train_low=30, n_train_high=8, n_test=20, subset=True)
+    assert d["x_low"].shape == (30, 1)
+    assert d["x_high"].shape == (8, 1)
+    # subset: every high-fidelity x appears in the low-fidelity set
+    for row in d["x_high"]:
+        assert any(np.allclose(row, r) for r in d["x_low"])
+
+
+def test_load_data_nonsubset():
+    d = load_data("tl112", n_train_low=30, n_train_high=8, subset=False)
+    overlap = sum(
+        any(np.allclose(row, r) for r in d["x_low"]) for row in d["x_high"]
+    )
+    assert overlap < 8  # independent draws
+
+
+def test_run_single_cell(tmp_path):
+    row = run_single(
+        "AR", "tl112", seed=0, n_high=8, n_low=30, n_test=30,
+        max_iter=60, n_restarts=2,
+    )
+    assert set(row) >= {"r2", "rmse", "nll", "nrmse", "time"}
+    assert row["rmse"] < 5.0  # sanity; tl1 scale is O(10)
+
+
+def test_run_sweep_writes_csv(tmp_path):
+    rows = run_sweep(
+        methods=["ResGP"],
+        datasets=["tl112"],
+        seeds=[0],
+        n_high_grid=[6, 10],
+        outdir=str(tmp_path),
+        n_low=24,
+        n_test=20,
+        max_iter=40,
+        n_restarts=2,
+    )
+    assert len(rows) == 2
+    path = tmp_path / "tl112" / "ResGP_seed_0.csv"
+    assert path.exists()
+    text = path.read_text()
+    assert text.startswith("n_high,rmse,nrmse,r2,nll,time")
