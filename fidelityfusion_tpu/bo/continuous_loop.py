@@ -1,0 +1,95 @@
+"""Continuous-fidelity BO outer loop.
+
+TPU-native re-design of
+`Experiments/MFBO_continuous/MF_BO_continuous.py:20-100`: FIDES surrogate
+over (x, z in [z_min, 1]), continuous-fidelity UCB with the information
+gap rule for choosing z, querying the objective at (x, z), recording cost
+vs incumbent.  (The reference file imports stale module paths,
+`MF_BO_continuous.py:8-14` — treated as layout drift; this is the working
+behavior, SURVEY.md §2.6.)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fidelityfusion_tpu.bo.continuous import ContinuousFidelityUCB
+from fidelityfusion_tpu.data.cost import ContinuousCost
+from fidelityfusion_tpu.models.fides import FIDES, FidelityBounds
+from fidelityfusion_tpu.train.fit import fit
+
+
+def mf_bo_continuous(
+    objective,
+    bo_iterations: int = 10,
+    n_init: int = 8,
+    seed: int = 0,
+    train_iters: int = 150,
+    train_lr: float = 5e-2,
+    z_min: float = 0.1,
+    verbose: bool = False,
+) -> Dict:
+    """``objective`` follows the continuous protocol
+    (`data/objectives.py:Branin/Hartmann3`): get_data(x, z) with z a
+    continuous fidelity column; initiate_data(num, seed) -> (x, y, z).
+    """
+    x, y, z = objective.initiate_data(n_init, seed)
+    cost = ContinuousCost(rate=2.0, s_min=z_min, s_max=1.0)
+    d = objective.x_dim
+    record = {"cost": [], "incumbents": [], "operation_time": [], "X": [], "Z": []}
+
+    for it in range(bo_iterations):
+        t0 = time.time()
+        # surrogate over the joint (x, z) input via FIDES with full-interval
+        # bounds; x normalized per dimension to the search box
+        xz = np.concatenate([x, z], axis=1).astype(np.float32)
+        ym, ys = y.mean(), y.std() + 1e-9
+        yn = ((y - ym) / ys).astype(np.float32)
+        fides = FIDES()
+        params = fides.init_params(xz.shape[1])
+        bounds_f = FidelityBounds(z_min, 1.0, z_min, 1.0)
+        xj = jnp.asarray(xz)
+        yj = jnp.asarray(yn)
+        res = fit(
+            lambda p: fides.nll(p, xj, yj, bounds_f),
+            params, steps=train_iters, lr=train_lr,
+        )
+
+        def posterior_fn(x_in, z_val, res=res, xj=xj, yj=yj):
+            x_in = jnp.atleast_2d(jnp.asarray(x_in, jnp.float32))
+            xq = jnp.concatenate(
+                [x_in, jnp.full((x_in.shape[0], 1), float(z_val), jnp.float32)],
+                axis=1,
+            )
+            mean, var = fides.predict(res.params, xj, yj, xq, bounds_f)
+            return mean, var
+
+        strategy = ContinuousFidelityUCB(
+            x_dimension=d,
+            search_range=list(objective.search_range[:d]) + [[z_min, 1.0]],
+            posterior_fn=posterior_fn,
+            cost=cost,
+            seed=seed + it,
+        )
+        new_x, new_z = strategy.compute_next(steps=30, lr=0.05)
+        new_y = objective.get_data(new_x, new_z)
+
+        x = np.concatenate([x, new_x], axis=0)
+        y = np.concatenate([y, new_y.reshape(1, -1)], axis=0)
+        z = np.concatenate([z, np.full((1, 1), new_z)], axis=0)
+
+        record["X"].append(new_x.ravel().tolist())
+        record["Z"].append(float(new_z))
+        record["cost"].append(float(np.sum(cost.compute_cost(z))))
+        record["incumbents"].append(float(np.max(y)))
+        record["operation_time"].append(time.time() - t0)
+        if verbose:
+            print(
+                f"iter {it}: z={new_z:.2f} incumbent={record['incumbents'][-1]:.4f}"
+            )
+    return record

@@ -80,11 +80,13 @@ class DiscreteMFAcquisition:
         )
 
     def acq_selection_fidelity(self, gamma: Sequence[float], new_x) -> int:
-        """MF-GP-UCB fidelity ladder: lowest s with beta*var <= gamma_s;
-        escalate while the posterior is still too uncertain."""
+        """MF-GP-UCB fidelity ladder (`v1/MF_UCB.py:40-48`): query the
+        LOWEST fidelity whose posterior is still uncertain
+        (beta * var > gamma_s — a cheap query is informative there);
+        when every fidelity is confident, query the top one."""
         for s in range(self.fidelity_num):
             v = float(jnp.max(self.var_fn(new_x, s)))
-            if self.beta * v <= gamma[s]:
+            if self.beta * v > gamma[s]:
                 return s
         return self.fidelity_num - 1
 

@@ -73,9 +73,10 @@ def test_mf_acquisition_and_fidelity_selection():
     assert mf.UCB_MF(x, 0).shape == (4,)
     assert mf.EI_MF(x, 1).shape == (4,)
     assert np.all(np.isfinite(np.asarray(mf.PI_MF(x, 2))))
-    # high gamma -> low fidelity suffices; tiny gamma -> escalate to top
-    assert mf.acq_selection_fidelity([10.0, 10.0, 10.0], x) == 0
-    assert mf.acq_selection_fidelity([1e-9, 1e-9, 1e-9], x) == 2
+    # tiny gamma -> low fidelity still uncertain -> query it;
+    # huge gamma -> everything looks confident -> query the top fidelity
+    assert mf.acq_selection_fidelity([1e-9, 1e-9, 1e-9], x) == 0
+    assert mf.acq_selection_fidelity([10.0, 10.0, 10.0], x) == 2
 
 
 def test_optimize_acq_mf_picks_best_fidelity():

@@ -1,0 +1,47 @@
+"""Joint (legacy-contract) training tests: one Adam over all fidelities."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fidelityfusion_tpu.models.ar import AR
+from fidelityfusion_tpu.models.car import ContinuousAutoRegression
+from fidelityfusion_tpu.models.joint import train_joint
+from fidelityfusion_tpu.models.nar import NAR
+from fidelityfusion_tpu.models.resgp import ResGP
+from fidelityfusion_tpu.ops.kernels import ARDKernel, SquaredExponentialKernel
+from tests.test_ar import build_manager
+
+
+def _rmse(model, dm, toy_sin_data):
+    x_test, y_test = toy_sin_data["test"]
+    mean, _ = model.forward(dm, jnp.asarray(x_test, jnp.float32))
+    return float(np.sqrt(np.mean((np.asarray(mean).ravel() - y_test.ravel()) ** 2)))
+
+
+@pytest.mark.parametrize(
+    "cls,kernels",
+    [
+        (AR, SquaredExponentialKernel),
+        (ResGP, SquaredExponentialKernel),
+        (NAR, SquaredExponentialKernel),
+    ],
+)
+def test_joint_training_cascade(toy_sin_data, cls, kernels):
+    dm = build_manager(toy_sin_data)
+    model = cls(3, [kernels() for _ in range(3)], input_dim=1)
+    losses = train_joint(model, dm, max_iter=400, lr_init=5e-2)
+    assert losses[-1] < losses[0]
+    rmse = _rmse(model, dm, toy_sin_data)
+    assert rmse < 0.35, f"{cls.__name__} joint rmse {rmse}"
+
+
+def test_joint_car(toy_sin_data):
+    dm = build_manager(toy_sin_data)
+    model = ContinuousAutoRegression(3, [ARDKernel()] * 3, input_dim=1)
+    losses = np.asarray(train_joint(model, dm, max_iter=300, lr_init=2e-2))
+    finite = losses[np.isfinite(losses)]
+    # the NaN guard may truncate late steps; the last finite loss must improve
+    assert finite[-1] < finite[0]
+    rmse = _rmse(model, dm, toy_sin_data)
+    assert rmse < 0.5, f"CAR joint rmse {rmse}"
