@@ -1,0 +1,130 @@
+"""Real-application BO objectives: neural-network training accuracy vs
+hyperparameters, with training epochs as the fidelity.
+
+TPU-native re-design of `Data_simulation/Real_Application/
+{cnn_cifar10,mln_mnist}.py:47-117`: the reference trains a torch-lightning
+CNN on CIFAR-100 / an MLP on MNIST and returns validation accuracy as the
+BO objective (fidelity = number of epochs).  This environment has no
+dataset downloads, so the objective here trains a small JAX MLP on a
+seeded synthetic classification task (two-moons-style) — preserving the
+structure that matters to MFBO research: a noisy, monotone-in-fidelity,
+hyperparameter-sensitive objective with real training cost.
+
+Protocol matches the reference objectives: ``get_data(x, s)`` with x the
+hyperparameters (log10 learning rate in [-4, -1], hidden width fraction
+in [0, 1]) and s the 1-based fidelity (epoch budget = 10 * s).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fidelityfusion_tpu.data.cost import LinearCost
+
+
+def _make_dataset(key, n=512, noise=0.2):
+    """Two-moons-style binary classification."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    t = jax.random.uniform(k1, (n,)) * jnp.pi
+    upper = jax.random.bernoulli(k2, 0.5, (n,))
+    x0 = jnp.where(upper, jnp.cos(t), 1.0 - jnp.cos(t))
+    x1 = jnp.where(upper, jnp.sin(t), 0.5 - jnp.sin(t))
+    X = jnp.stack([x0, x1], axis=1)
+    X = X + noise * jax.random.normal(k3, X.shape)
+    y = upper.astype(jnp.int32)
+    return X, y
+
+
+class MLPTrainingObjective:
+    """Hyperparameter-BO objective: validation accuracy of a 2-layer MLP
+    after ``10*s`` epochs of full-batch Adam (`mln_mnist.py:47-90` analog)."""
+
+    def __init__(self, total_fidelity_num: int = 2, seed: int = 0,
+                 max_width: int = 64):
+        self.total_fidelity_num = total_fidelity_num
+        self.x_dim = 2
+        self.search_range = [[-4.0, -1.0], [0.0, 1.0], [0, 1]]
+        self.cost = LinearCost(rate=10.0)
+        self.max_width = max_width
+        key = jax.random.PRNGKey(seed)
+        ktr, kva = jax.random.split(key)
+        self.X_train, self.y_train = _make_dataset(ktr)
+        self.X_val, self.y_val = _make_dataset(kva, n=256)
+
+    def _train_one(self, log10_lr: float, width_frac: float, epochs: int,
+                   seed: int = 0) -> float:
+        import optax
+
+        width = max(4, int(round(width_frac * self.max_width)))
+        lr = 10.0 ** float(log10_lr)
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        params = {
+            "w1": jax.random.normal(k1, (2, width)) * 0.5,
+            "b1": jnp.zeros((width,)),
+            "w2": jax.random.normal(k2, (width, 2)) * 0.5,
+            "b2": jnp.zeros((2,)),
+        }
+
+        def logits(p, X):
+            h = jnp.tanh(X @ p["w1"] + p["b1"])
+            return h @ p["w2"] + p["b2"]
+
+        def loss_fn(p, X, y):
+            lg = logits(p, X)
+            return jnp.mean(
+                -jax.nn.log_softmax(lg)[jnp.arange(len(y)), y]
+            )
+
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def run(p, X, y, Xv, yv):
+            def step(carry, _):
+                p, s = carry
+                g = jax.grad(loss_fn)(p, X, y)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), ()
+
+            (p_f, _), _ = jax.lax.scan(step, (p, opt.init(p)), None,
+                                       length=epochs)
+            acc = jnp.mean(
+                (jnp.argmax(logits(p_f, Xv), axis=1) == yv).astype(jnp.float32)
+            )
+            return acc
+
+        return float(run(params, self.X_train, self.y_train,
+                         self.X_val, self.y_val))
+
+    def get_data(self, x: np.ndarray, s: int) -> np.ndarray:
+        """x: (n, 2) raw hyperparameters; s: 1-based fidelity ->
+        10*s training epochs.  Returns validation accuracy (n, 1)."""
+        x = np.atleast_2d(np.asarray(x, float))
+        out = np.array(
+            [
+                self._train_one(row[0], row[1], epochs=10 * int(s))
+                for row in x
+            ]
+        )
+        return out.reshape(-1, 1)
+
+    def initiate_data(self, index: Dict[int, int], seed: int):
+        rng = np.random.default_rng(seed)
+
+        def sample(n):
+            lr = rng.random((n, 1)) * 3 - 4  # log10 lr in [-4, -1]
+            w = rng.random((n, 1))
+            return np.concatenate([lr, w], axis=1)
+
+        x_low = sample(index[1])
+        x_high = np.concatenate([x_low[: index[2] - 2], sample(2)], axis=0)
+        return (
+            [x_low, x_high],
+            [self.get_data(x_low, 1), self.get_data(x_high, 2)],
+        )
+
+    Initiate_data = initiate_data

@@ -172,3 +172,51 @@ class GPBasic:
         K_s = self.kernel.apply(params["kernel"], x_train, x_test)
         k_ss = self.kernel.diag(params["kernel"], x_test)
         return linalg.posterior_diag(Sigma, y_train, K_s, k_ss, mask=mask)
+
+
+@dataclasses.dataclass(frozen=True)
+class CIGPWithMean:
+    """CIGP with a constant trainable mean.
+
+    TPU-native re-design of `GaussianProcess/cigp_withMean.py:29-127` and
+    the BO variant `Bayesian_optimization/cigp.py:32-155` (which adds
+    internal normalizers — here normalization lives in the data manager /
+    caller, keeping the model stateless): the GP models y - c with a
+    trainable scalar (or per-column) constant mean c.
+    """
+
+    kernel: Kernel
+    jitter: float = JITTER
+
+    def init_params(self, input_dim: int, output_dim: int = 1,
+                    log_beta: float = 1.0, y=None):
+        """``y`` (optional training targets) initializes the constant mean
+        at the empirical mean — the reference's BO variant achieves the
+        same via internal normalizers (`Bayesian_optimization/cigp.py:48-58`);
+        starting at 0 with a large offset drives the kernel variance into
+        an ill-conditioned rank-1 regime."""
+        const = (
+            jnp.full((output_dim,), float(jnp.mean(jnp.asarray(y))), jnp.float32)
+            if y is not None
+            else jnp.zeros((output_dim,), jnp.float32)
+        )
+        return {
+            "kernel": self.kernel.init_params(input_dim),
+            "log_beta": jnp.asarray([log_beta], jnp.float32),
+            "const_mean": const,
+        }
+
+    def _gp(self):
+        return CIGP(kernel=self.kernel, jitter=self.jitter)
+
+    def nll(self, params, x, y, y_var=None, mask=None):
+        return self._gp().nll(
+            params, x, y - params["const_mean"][None, :], y_var=y_var, mask=mask
+        )
+
+    def predict(self, params, x_train, y_train, x_test, y_var=None, mask=None):
+        mean, cov = self._gp().predict(
+            params, x_train, y_train - params["const_mean"][None, :], x_test,
+            y_var=y_var, mask=mask,
+        )
+        return mean + params["const_mean"][None, :], cov

@@ -70,6 +70,12 @@ def match_rows(x1: np.ndarray, x2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     x2 = np.ascontiguousarray(np.asarray(x2, np.float64))
     if x1.size == 0 or x2.size == 0:
         return np.zeros(len(x1), bool), np.zeros(len(x2), bool)
+    # native C path (csrc/fastmatch.c) with numpy structured-view fallback
+    from fidelityfusion_tpu.utils.native import match_rows_native
+
+    native = match_rows_native(x1, x2)
+    if native is not None:
+        return native
     v1 = x1.view([("", x1.dtype)] * x1.shape[1]).ravel()
     v2 = x2.view([("", x2.dtype)] * x2.shape[1]).ravel()
     return np.isin(v1, v2), np.isin(v2, v1)

@@ -365,6 +365,29 @@ class MCFidelityKernel(Kernel):
         return out
 
 
+@dataclasses.dataclass(frozen=True)
+class MaternKernelScalarLengthScale(Kernel):
+    """Deprecated scalar-length-scale Matern variant
+    (`kernel.py:312-347`): k = sv^2 * (1 + sqrt(3 d2)/ls^2)^(-nu)."""
+
+    def init_params(self, input_dim: int):
+        del input_dim
+        return {
+            "length_scale": jnp.ones((1,), jnp.float32),
+            "signal_variance": jnp.ones((1,), jnp.float32),
+            "nu": jnp.asarray([2.5], jnp.float32),
+        }
+
+    def apply(self, params, x1, x2):
+        d2 = sq_dist(x1, x2)
+        ls, sv, nu = (
+            params["length_scale"][0],
+            params["signal_variance"][0],
+            params["nu"][0],
+        )
+        return sv**2 * jnp.power(1.0 + jnp.sqrt(3.0 * d2 + EPS) / ls**2, -nu)
+
+
 def trainable_mask(kernel: Kernel, params) -> dict:
     """Pytree of bools marking trainable leaves (entries under keys starting
     with "_" are frozen constants, e.g. MC samples)."""
