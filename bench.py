@@ -38,6 +38,8 @@ RECORDED = {
     "restarts": 9000.0,     # aggregate steps/s, R=32 n=1024
     "chol4096": 10.1,       # TFLOP/s
     "gram4096": 0.5,        # ms
+    "pallas_chol4096": float("nan"),
+    "pallas_gram4096": float("nan"),
 }
 REF_STEPS_PER_S_N1024 = 16.1  # torch-CPU measured (BASELINE.md)
 
@@ -78,10 +80,13 @@ def stage_nlml(n: int):
     from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((n, 1)) * 20, jnp.float32)
-    y = jnp.sin(x)
+    # keep all closed-over arrays HOST-side (numpy): device-resident
+    # constants must be fetched back during jit lowering, which
+    # intermittently deadlocks over the tunneled TPU transport
+    x = (rng.random((n, 1)) * 20).astype(np.float32)
+    y = np.sin(x)
     gp = CIGP(kernel=SquaredExponentialKernel())
-    p0 = gp.init_params(1)
+    p0 = jax.tree_util.tree_map(np.asarray, gp.init_params(1))
     opt = optax.adam(1e-2)
 
     def mk(L):
@@ -114,12 +119,12 @@ def stage_restarts():
 
     n, R = 1024, 32
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((n, 1)) * 20, jnp.float32)
-    y = jnp.sin(x)
+    x = (rng.random((n, 1)) * 20).astype(np.float32)
+    y = np.sin(x)
     gp = CIGP(kernel=SquaredExponentialKernel())
-    p0 = gp.init_params(1)
+    p0 = jax.tree_util.tree_map(np.asarray, gp.init_params(1))
     batch = jax.tree_util.tree_map(
-        lambda a: jnp.stack([a + 0.01 * i for i in range(R)]), p0
+        lambda a: np.stack([a + 0.01 * i for i in range(R)]), p0
     )
     opt = optax.adam(1e-2)
 
@@ -154,7 +159,7 @@ def stage_chol():
     nc = 4096
     rng = np.random.default_rng(0)
     A = rng.random((nc, 64)).astype(np.float32)
-    K = jnp.asarray(A @ A.T + nc * np.eye(nc, dtype=np.float32))
+    K = A @ A.T + nc * np.eye(nc, dtype=np.float32)  # host-side
 
     def mk(L):
         def fn():
@@ -179,14 +184,71 @@ def stage_gram():
 
     from fidelityfusion_tpu.ops.kernels import ARDKernel
 
-    xg = jnp.asarray(np.random.default_rng(0).random((4096, 8)), jnp.float32)
+    xg = np.random.default_rng(0).random((4096, 8)).astype(np.float32)
     ard = ARDKernel()
-    ap = ard.init_params(8)
+    ap = jax.tree_util.tree_map(np.asarray, ard.init_params(8))
 
     def mk(L):
         def fn():
             def body(c, _):
                 G = ard.apply(ap, xg + c * 1e-12, xg)
+                return jnp.sum(G) * 1e-12, ()
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=L)
+            return out
+
+        return jax.jit(fn)
+
+    per = _chain_time(mk, 2, 12)
+    return per * 1e3
+
+
+def stage_pallas_chol():
+    _watchdog(200)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fidelityfusion_tpu.ops.pallas_cholesky import cholesky_blocked
+
+    nc = 4096
+    rng = np.random.default_rng(0)
+    A = rng.random((nc, 64)).astype(np.float32)
+    K = A @ A.T + nc * np.eye(nc, dtype=np.float32)  # host-side
+
+    def mk(L):
+        def fn():
+            def body(c, _):
+                Lc = cholesky_blocked(jnp.asarray(K) + (c * 1e-9) * jnp.eye(nc), block=512)
+                return jnp.sum(Lc) * 1e-9, ()
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=L)
+            return out
+
+        return jax.jit(fn)
+
+    per = _chain_time(mk, 1, 6)
+    return (nc**3 / 3.0) / per / 1e12
+
+
+def stage_pallas_gram():
+    _watchdog(150)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fidelityfusion_tpu.ops.pallas_gram import gram_sigma_ard
+    from fidelityfusion_tpu.ops.kernels import ARDKernel
+
+    import jax as _jax
+
+    xg = np.random.default_rng(0).random((4096, 8)).astype(np.float32)
+    ap = _jax.tree_util.tree_map(np.asarray, ARDKernel().init_params(8))
+
+    def mk(L):
+        def fn():
+            def body(c, _):
+                G = gram_sigma_ard(ap, xg + c * 1e-12, 0.1)
                 return jnp.sum(G) * 1e-12, ()
 
             out, _ = jax.lax.scan(body, 0.0, None, length=L)
@@ -235,16 +297,45 @@ STAGES = {
     "restarts": stage_restarts,
     "chol4096": stage_chol,
     "gram4096": stage_gram,
+    "pallas_chol4096": stage_pallas_chol,
+    "pallas_gram4096": stage_pallas_gram,
     "ref": stage_ref,
 }
 
 
-def run_stage_subprocess(name: str, timeout: int = 200):
+def run_stage_subprocess(name: str, timeout: int = 240, retries: int = 1):
     """Run one stage isolated; returns (value, live) where live=False means
-    the recorded fallback was used."""
+    the recorded fallback was used.  The remote device claim takes a few
+    seconds to hand over between client processes, so each stage waits
+    before starting and retries once on failure."""
+    for attempt in range(retries + 1):
+        time.sleep(10 if attempt == 0 else 60)  # claim handover settle
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", name],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("STAGE_RESULT "):
+                    return float(line.split()[2]), True
+            log(f"[stage {name}] attempt {attempt}: no result "
+                f"(rc={proc.returncode}); stderr tail: {proc.stderr[-1500:]}")
+        except subprocess.TimeoutExpired:
+            log(f"[stage {name}] attempt {attempt}: TIMED OUT after {timeout}s")
+        except Exception as e:  # pragma: no cover
+            log(f"[stage {name}] attempt {attempt} failed: {e}")
+    return RECORDED.get(name, float("nan")), False
+
+
+def run_monolithic(timeout: int = 1500):
+    """All stages under one device claim; returns {name: value}."""
+    out = {}
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            [sys.executable, os.path.abspath(__file__), "--monolithic"],
             capture_output=True,
             text=True,
             timeout=timeout,
@@ -252,36 +343,63 @@ def run_stage_subprocess(name: str, timeout: int = 200):
         )
         for line in proc.stdout.splitlines():
             if line.startswith("STAGE_RESULT "):
-                return float(line.split()[1]), True
-        log(f"[stage {name}] no result (rc={proc.returncode}); stderr tail: "
-            f"{proc.stderr[-300:]}")
-    except subprocess.TimeoutExpired:
-        log(f"[stage {name}] TIMED OUT after {timeout}s — using recorded value")
-    except Exception as e:  # pragma: no cover
-        log(f"[stage {name}] failed: {e}")
-    return RECORDED.get(name, float("nan")), False
+                _, name, val = line.split()
+                out[name] = float(val)
+        if proc.returncode != 0 and not out:
+            log(f"[mono] rc={proc.returncode}; stderr tail: {proc.stderr[-800:]}")
+    except subprocess.TimeoutExpired as e:
+        for line in (e.stdout or "").splitlines():
+            if line.startswith("STAGE_RESULT "):
+                _, name, val = line.split()
+                out[name] = float(val)
+        log("[mono] timed out; keeping partial results")
+    return out
+
+
+STAGE_ORDER = (
+    "nlml300", "nlml1024", "nlml4096", "restarts", "chol4096",
+    "gram4096", "pallas_chol4096", "pallas_gram4096",
+)
 
 
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
         name = sys.argv[2]
         val = STAGES[name]()
-        print(f"STAGE_RESULT {val}", flush=True)
+        print(f"STAGE_RESULT {name} {val}", flush=True)
+        return
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--monolithic":
+        # all device stages under ONE claim: the tunneled device's
+        # claim handover between processes is slow/flaky, so a single
+        # process is the reliable path.  Watchdog re-armed per stage.
+        for name in STAGE_ORDER:
+            _watchdog(240)
+            try:
+                val = STAGES[name]()
+                print(f"STAGE_RESULT {name} {val}", flush=True)
+            except Exception as e:  # keep going; parent fills fallbacks
+                print(f"STAGE_FAIL {name} {e!r}", file=sys.stderr, flush=True)
         return
 
     results = {}
     units = {
         "nlml300": "steps/s", "nlml1024": "steps/s", "nlml4096": "steps/s",
         "restarts": "agg steps/s", "chol4096": "TFLOP/s", "gram4096": "ms",
+        "pallas_chol4096": "TFLOP/s", "pallas_gram4096": "ms",
     }
-    for name in ("nlml300", "nlml1024", "nlml4096", "restarts", "chol4096",
-                 "gram4096"):
+    mono = run_monolithic()
+    for name in STAGE_ORDER:
+        if name in mono:
+            results[name] = mono[name]
+            log(f"[bench] {name}: {mono[name]:.2f} {units[name]}")
+            continue
         val, live = run_stage_subprocess(name)
         results[name] = val
         log(f"[bench] {name}: {val:.2f} {units[name]}"
             + ("" if live else " (RECORDED FALLBACK)"))
 
-    ref, ref_live = run_stage_subprocess("ref", timeout=120)
+    ref, ref_live = run_stage_subprocess("ref", timeout=120, retries=0)
     if not ref_live:
         ref = REF_STEPS_PER_S_N1024
     log(f"[ref] torch-CPU n=1024: {ref:.1f} steps/s")

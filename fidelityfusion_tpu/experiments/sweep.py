@@ -116,3 +116,47 @@ def run_sweep(
                     w.writeheader()
                     w.writerows(records)
     return rows
+
+
+def main(argv=None):
+    """CLI: reproduce the reference sweep protocols.
+
+    python -m fidelityfusion_tpu.experiments.sweep \
+        --methods AR ResGP --datasets tl112 forrester14 --seeds 0 1 \
+        --n-high 4 8 16 32 --outdir exp_results
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--methods", nargs="+", default=["AR", "ResGP", "NAR"])
+    parser.add_argument("--datasets", nargs="+", default=["tl112"])
+    parser.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2, 3, 4])
+    parser.add_argument("--n-high", nargs="+", type=int, default=[4, 8, 16, 32])
+    parser.add_argument("--n-low", type=int, default=100)
+    parser.add_argument("--n-test", type=int, default=100)
+    parser.add_argument("--nonsubset", action="store_true")
+    parser.add_argument("--max-iter", type=int, default=200)
+    parser.add_argument("--outdir", default="exp_results")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    rows = run_sweep(
+        methods=args.methods,
+        datasets=args.datasets,
+        seeds=args.seeds,
+        n_high_grid=args.n_high,
+        outdir=args.outdir,
+        n_low=args.n_low,
+        n_test=args.n_test,
+        subset=not args.nonsubset,
+        max_iter=args.max_iter,
+    )
+    print(f"wrote {len(rows)} rows under {args.outdir}/")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

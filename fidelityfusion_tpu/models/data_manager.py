@@ -211,9 +211,10 @@ class MultiFidelityDataManager:
         sx2, sy2 = norm2.normalize(sx2, sy2)
         ux2, uy2 = norm2.normalize(ux2, uy2)
 
-        def _fill(x_units_raw):
+        def _fill(x_units_raw, template):
             # imputed in fidelity_index1's normalized-y space (the space the
-            # residual target subtracts in)
+            # residual target subtracts in); ``template`` fixes the per-sample
+            # output shape (vector vs tensor fields)
             mean, var = model.forward(
                 self,
                 jnp.asarray(x_units_raw, jnp.float32),
@@ -226,16 +227,15 @@ class MultiFidelityDataManager:
                 var_diag = np.diagonal(var).copy()
             else:
                 var_diag = var.reshape(var.shape[0], -1).mean(axis=-1)
-            if mean.ndim == 1:
-                mean = mean[:, None]
+            mean = mean.reshape((len(x_units_raw),) + template.shape[1:])
             return mean, var_diag
 
         if len(sx2) == 0:  # full non-subset
-            fill_mean, fill_var = _fill(ux2_raw)
+            fill_mean, fill_var = _fill(ux2_raw, uy2)
             y_high_var = np.zeros(len(uy2))
             return (
                 ux2,
-                [fill_mean.reshape(len(ux2), -1), fill_var],
+                [fill_mean, fill_var],
                 [uy2, y_high_var],
             )
         elif len(ux2) == 0:  # full subset
@@ -245,8 +245,8 @@ class MultiFidelityDataManager:
                 [sy2, np.zeros(len(sy2))],
             )
         else:  # mixed
-            fill_mean, fill_var = _fill(ux2_raw)
-            y_low_mean = np.concatenate([sy1, fill_mean.reshape(len(ux2), -1)], axis=0)
+            fill_mean, fill_var = _fill(ux2_raw, sy1)
+            y_low_mean = np.concatenate([sy1, fill_mean], axis=0)
             y_low_var = np.concatenate([np.zeros(len(sy1)), fill_var])
             y_high_mean = np.concatenate([sy2, uy2], axis=0)
             y_high_var = np.zeros(len(y_high_mean))

@@ -54,25 +54,52 @@ class HOGPState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class HOGP:
-    """Static spec for the high-order GP."""
+    """Static spec for the high-order GP.
+
+    ``learnable_grid`` / ``learnable_map`` mirror `hogp_simple.py:22-43`:
+    when enabled, the per-mode grid coordinates and/or a per-mode mapping
+    matrix become trainable parameters (both default off, matching the
+    reference demos).  Disabled variants keep the constants out of the
+    param pytree entirely so the optimizer never sees them.
+    """
 
     kernel: Kernel
     output_shape: Tuple[int, ...]
     jitter: float = JITTER
+    learnable_grid: bool = False
+    learnable_map: bool = False
 
     def init_params(self, input_dim: int, noise_variance: float = 1.0):
         del input_dim  # mode kernels share params; ls of dim 1 broadcasts
-        return {
+        p = {
             "kernel": self.kernel.init_params(1),
             "noise_variance": jnp.asarray([noise_variance], jnp.float32),
         }
+        if self.learnable_grid:
+            p["grids"] = [
+                jnp.arange(d, dtype=jnp.float32).reshape(-1, 1)
+                for d in self.output_shape
+            ]
+        if self.learnable_map:
+            p["maps"] = [
+                jnp.eye(d, dtype=jnp.float32) for d in self.output_shape
+            ]
+        return p
 
-    def grids(self) -> List[jnp.ndarray]:
-        """Integer grids per output mode (`hogp_simple.py:32-34`)."""
-        return [
-            jnp.arange(d, dtype=jnp.float32).reshape(-1, 1)
-            for d in self.output_shape
-        ]
+    def grids(self, params=None) -> List[jnp.ndarray]:
+        """Per-mode grid coordinates (`hogp_simple.py:32-43`): integer
+        grids by default; trainable (optionally map-transformed) when the
+        learnable flags are set."""
+        if self.learnable_grid and params is not None and "grids" in params:
+            gs = params["grids"]
+        else:
+            gs = [
+                jnp.arange(d, dtype=jnp.float32).reshape(-1, 1)
+                for d in self.output_shape
+            ]
+        if self.learnable_map and params is not None and "maps" in params:
+            gs = [m @ g for m, g in zip(params["maps"], gs)]
+        return gs
 
     def noise(self, params) -> jnp.ndarray:
         # reference: noise_variance.pow(-1) (`hogp_simple.py:96`)
@@ -96,7 +123,7 @@ class HOGP:
         K0 = K0 + self.jitter * jnp.eye(K0.shape[0], dtype=K0.dtype)
         lam0, V0 = eigh_pairs(K0)
         K_modes, eigvals, eigvecs = [], [lam0], [V0]
-        for g in self.grids():
+        for g in self.grids(params):
             Km = self.kernel.apply(kp, g, g)
             lam, V = eigh_pairs(Km)
             K_modes.append(Km)

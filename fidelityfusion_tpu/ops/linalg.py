@@ -79,12 +79,18 @@ def mvn_nll(
     Sigma: jnp.ndarray,
     y: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    method: str = "cholesky",
 ) -> jnp.ndarray:
     """Negative log marginal likelihood of y ~ N(0, Sigma), columns summed.
 
     Matches `cigp_v10.py:61-68` / `gp_computation_pack.py:65-80` with
     ``Kinv_method='cholesky3'`` semantics (each output column treated as an
-    independent sample of the same MVN).
+    independent sample of the same MVN).  ``method`` keeps the reference's
+    selectable inversion paths (`gp_computation_pack.py:34-91`):
+    'cholesky' (= the reference's cholesky1/2/3, all mathematically the
+    triangular-solve form — the fastest and default) or 'direct'
+    (explicit solve + slogdet, the reference's 'direct' branch; useful for
+    numerical cross-checks).
     """
     y = jnp.atleast_2d(y)
     if y.ndim == 1:
@@ -95,6 +101,10 @@ def mvn_nll(
         n_eff = jnp.sum(mask).astype(y.dtype)
     else:
         n_eff = jnp.asarray(y.shape[0], y.dtype)
+    if method == "direct":
+        sign, logdet = jnp.linalg.slogdet(Sigma)
+        quad = 0.5 * jnp.sum(y * jnp.linalg.solve(Sigma, y))
+        return quad + 0.5 * d * logdet + 0.5 * n_eff * d * LOG2PI
     L = cholesky(Sigma)
     gamma = solve_triangular(L, y, lower=True)
     quad = 0.5 * jnp.sum(gamma**2)

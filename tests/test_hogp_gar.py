@@ -164,3 +164,43 @@ def test_cigar_matches_protocol(poisson_data):
     rel = np.linalg.norm(mean_dn - truth) / np.linalg.norm(truth)
     assert rel < 0.5, f"CIGAR relative error {rel}"
     assert np.all(np.asarray(var) > 0)
+
+
+def test_hogp_learnable_grid_map():
+    """Learnable grid/map flags add trainable leaves and keep the NLML
+    differentiable through them (`hogp_simple.py:22-43` options)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((8, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((8, 4, 3)), jnp.float32)
+    hogp = HOGP(kernel=ARDKernel(), output_shape=(4, 3),
+                learnable_grid=True, learnable_map=True)
+    p = hogp.init_params(2)
+    assert "grids" in p and "maps" in p
+    g = jax.grad(lambda pp: hogp.nll(pp, x, y))(p)
+    assert any(float(jnp.max(jnp.abs(leaf))) > 0 for leaf in g["grids"])
+    assert any(float(jnp.max(jnp.abs(leaf))) > 0 for leaf in g["maps"])
+
+
+def test_gar_nonsubset(poisson_data):
+    """GAR with non-subset fidelity data exercises the imputation path
+    (`get_nonsubset_fill_data` -> HOGP y_var diagonal)."""
+    x, ys = poisson_data
+    # different x per fidelity -> non-subset
+    dm = MultiFidelityDataManager(
+        [
+            {"raw_fidelity_name": "0", "fidelity_indicator": 0,
+             "X": x[:40], "Y": ys[0][:40]},
+            {"raw_fidelity_name": "1", "fidelity_indicator": 1,
+             "X": np.concatenate([x[8:32], x[44:48]]), 
+             "Y": np.concatenate([ys[1][8:32], ys[1][44:48]])},
+        ]
+    )
+    shapes = [y.shape[1:] for y in ys[:2]]
+    model = GAR(2, [ARDKernel() for _ in range(2)], shapes,
+                if_nonsubset=True, input_dim=x.shape[1])
+    train_GAR(model, dm, max_iter=40, lr_init=5e-2)
+    mean, var = model.forward(dm, jnp.asarray(x[40:44], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.asarray(var) > 0)
