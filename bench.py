@@ -40,6 +40,8 @@ RECORDED = {
     "gram4096": 0.5,        # ms
     "pallas_chol4096": float("nan"),
     "pallas_gram4096": float("nan"),
+    "nlml1024_fused": float("nan"),
+    "nlml4096_fused": float("nan"),
 }
 REF_STEPS_PER_S_N1024 = 16.1  # torch-CPU measured (BASELINE.md)
 
@@ -86,6 +88,41 @@ def stage_nlml(n: int):
     x = (rng.random((n, 1)) * 20).astype(np.float32)
     y = np.sin(x)
     gp = CIGP(kernel=SquaredExponentialKernel())
+    p0 = jax.tree_util.tree_map(np.asarray, gp.init_params(1))
+    opt = optax.adam(1e-2)
+
+    def mk(L):
+        def fn():
+            def body(carry, _):
+                p, s = carry
+                loss, g = jax.value_and_grad(lambda pp: gp.nll(pp, x, y))(p)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), loss
+
+            (_, _), losses = jax.lax.scan(body, (p0, opt.init(p0)), None, length=L)
+            return jnp.sum(losses) * 1e-6
+
+        return jax.jit(fn)
+
+    L1, L2 = (5, 55) if n >= 4096 else (10, 110)
+    per = _chain_time(mk, L1, L2)
+    return 1.0 / per
+
+
+def stage_nlml_fused(n: int):
+    _watchdog(150)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fidelityfusion_tpu.models.cigp import CIGP
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    rng = np.random.default_rng(0)
+    x = (rng.random((n, 1)) * 20).astype(np.float32)
+    y = np.sin(x)
+    gp = CIGP(kernel=SquaredExponentialKernel(), fused_nll=True)
     p0 = jax.tree_util.tree_map(np.asarray, gp.init_params(1))
     opt = optax.adam(1e-2)
 
@@ -294,6 +331,8 @@ STAGES = {
     "nlml300": lambda: stage_nlml(300),
     "nlml1024": lambda: stage_nlml(1024),
     "nlml4096": lambda: stage_nlml(4096),
+    "nlml1024_fused": lambda: stage_nlml_fused(1024),
+    "nlml4096_fused": lambda: stage_nlml_fused(4096),
     "restarts": stage_restarts,
     "chol4096": stage_chol,
     "gram4096": stage_gram,
@@ -357,8 +396,8 @@ def run_monolithic(timeout: int = 1500):
 
 
 STAGE_ORDER = (
-    "nlml300", "nlml1024", "nlml4096", "restarts", "chol4096",
-    "gram4096", "pallas_chol4096", "pallas_gram4096",
+    "nlml300", "nlml1024", "nlml4096", "nlml1024_fused", "nlml4096_fused",
+    "restarts", "chol4096", "gram4096", "pallas_chol4096", "pallas_gram4096",
 )
 
 
@@ -385,6 +424,7 @@ def main():
     results = {}
     units = {
         "nlml300": "steps/s", "nlml1024": "steps/s", "nlml4096": "steps/s",
+        "nlml1024_fused": "steps/s", "nlml4096_fused": "steps/s",
         "restarts": "agg steps/s", "chol4096": "TFLOP/s", "gram4096": "ms",
         "pallas_chol4096": "TFLOP/s", "pallas_gram4096": "ms",
     }

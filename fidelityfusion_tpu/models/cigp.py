@@ -33,6 +33,7 @@ class CIGP:
     kernel: Kernel
     jitter: float = JITTER
     relative_jitter: bool = False  # JITTER * mean(K) trick (gp_computation_pack.py:125)
+    fused_nll: bool = False  # hand-written NLML VJP (ops/linalg.py:mvn_nll_fused)
 
     def init_params(self, input_dim: int, log_beta: float = 1.0):
         return {
@@ -70,6 +71,9 @@ class CIGP:
         again; here nll is the loss directly.
         """
         Sigma = self._sigma(params, x, y_var, mask)
+        if self.fused_nll and mask is None:
+            y2 = y if y.ndim == 2 else y[:, None]
+            return linalg.mvn_nll_fused(Sigma, y2)
         return linalg.mvn_nll(Sigma, y, mask=mask)
 
     def predict(

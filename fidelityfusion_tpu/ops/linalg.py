@@ -166,6 +166,58 @@ def posterior_diag(
     return mu, var
 
 
+@jax.custom_vjp
+def mvn_nll_fused(Sigma: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """NLML with a hand-written VJP (SURVEY.md §7 hard-part #5).
+
+    Forward: one Cholesky + triangular solve (same math as `mvn_nll`).
+    Backward: the closed-form gradient
+
+        dL/dSigma = 0.5 * (d * Sigma^{-1} - alpha alpha^T),   alpha = Sigma^{-1} y
+        dL/dy     = alpha
+
+    computed from the SAVED factor — XLA's autodiff instead differentiates
+    through the Cholesky primitive (Walter's blocked recurrence), which
+    re-materializes triangular intermediates; the closed form is one
+    `cho_solve` against I plus one rank-d update.  Gradients agree with
+    autodiff to f32 tolerance (tests/test_linalg.py).
+    """
+    L = cholesky(Sigma)
+    gamma = solve_triangular(L, y, lower=True)
+    d = y.shape[1]
+    n = y.shape[0]
+    return (
+        0.5 * jnp.sum(gamma**2)
+        + d * jnp.sum(jnp.log(jnp.diagonal(L)))
+        + 0.5 * n * d * LOG2PI
+    )
+
+
+def _mvn_nll_fused_fwd(Sigma, y):
+    L = cholesky(Sigma)
+    gamma = solve_triangular(L, y, lower=True)
+    d = y.shape[1]
+    n = y.shape[0]
+    val = (
+        0.5 * jnp.sum(gamma**2)
+        + d * jnp.sum(jnp.log(jnp.diagonal(L)))
+        + 0.5 * n * d * LOG2PI
+    )
+    return val, (L, y)
+
+
+def _mvn_nll_fused_bwd(res, g):
+    L, y = res
+    d = y.shape[1]
+    alpha = cho_solve((L, True), y)
+    Kinv = cho_solve((L, True), jnp.eye(L.shape[0], dtype=L.dtype))
+    dSigma = g * 0.5 * (d * Kinv - alpha @ alpha.T)
+    return dSigma, g * alpha
+
+
+mvn_nll_fused.defvjp(_mvn_nll_fused_fwd, _mvn_nll_fused_bwd)
+
+
 @partial(jax.jit, static_argnames=("lower",))
 def chol_logdet(Sigma: jnp.ndarray, lower: bool = True) -> jnp.ndarray:
     """log|Sigma| via Cholesky."""

@@ -81,3 +81,19 @@ def test_run_sweep_writes_csv(tmp_path):
     assert path.exists()
     text = path.read_text()
     assert text.startswith("n_high,rmse,nrmse,r2,nll,time")
+
+
+def test_sharded_seed_sweep():
+    """The seed axis trains data-parallel over the virtual mesh and the
+    metric rows come back finite and reasonable."""
+    from fidelityfusion_tpu.experiments.sharded_sweep import run_sharded_seed_sweep
+
+    rows = run_sharded_seed_sweep(
+        "tl112", seeds=[0, 1, 2, 3, 4, 5, 6, 7], n_high=12, n_low=48,
+        n_test=32, steps=150,
+    )
+    assert len(rows) == 8
+    for r in rows:
+        assert np.isfinite(r["rmse"])
+    # tl1 targets span ~[-10, 17]; a fitted AR should do much better than std
+    assert np.median([r["rmse"] for r in rows]) < 2.0

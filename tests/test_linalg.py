@@ -142,3 +142,30 @@ def test_relative_jitter(problem):
     S = L.assemble_sigma(jnp.asarray(K, jnp.float32), 0.0, jitter=1e-6, relative_jitter=True)
     expected = K + 1e-6 * np.mean(np.diagonal(K)) * np.eye(len(K))
     np.testing.assert_allclose(np.asarray(S), expected, rtol=1e-4, atol=1e-7)
+
+
+def test_fused_nll_matches_value_and_grad(problem, rng):
+    """mvn_nll_fused must match mvn_nll in value and in gradients wrt both
+    Sigma and y (custom VJP vs autodiff-through-Cholesky)."""
+    import jax
+
+    K, _ = problem
+    Sigma = jnp.asarray(K + 0.2 * np.eye(len(K)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((len(K), 3)), jnp.float32)
+
+    v_ref = float(L.mvn_nll(Sigma, y))
+    v_fused = float(L.mvn_nll_fused(Sigma, y))
+    np.testing.assert_allclose(v_fused, v_ref, rtol=1e-5)
+
+    g_ref = jax.grad(lambda S, yy: L.mvn_nll(S, yy), argnums=(0, 1))(Sigma, y)
+    g_fused = jax.grad(lambda S, yy: L.mvn_nll_fused(S, yy), argnums=(0, 1))(Sigma, y)
+    # autodiff returns the lower-triangular-projected Sigma cotangent
+    # (cholesky only reads the lower triangle); symmetrize both for comparison
+    def sym(M):
+        M = np.asarray(M)
+        return (M + M.T) / 2
+
+    np.testing.assert_allclose(sym(g_fused[0]), sym(g_ref[0]), rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_fused[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
+    )
