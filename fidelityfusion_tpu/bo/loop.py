@@ -81,7 +81,10 @@ def mf_bo_discrete(
             if_nonsubset=True,
             input_dim=objective.x_dim,
         )
-        train_fn(model, dm, max_iter=train_iters, lr_init=train_lr)
+        extra = {"pad_multiple": 16} if model_name == "AR" else {}
+        # pad_multiple buckets stage shapes so the jitted training scans
+        # compile once per bucket instead of once per BO iteration
+        train_fn(model, dm, max_iter=train_iters, lr_init=train_lr, **extra)
 
         def mean_fn(x, s, model=model, dm=dm):
             m, _ = model.forward(dm, x, to_fidelity=s)

@@ -148,6 +148,7 @@ def train_AR(
     n_restarts: int = 4,
     seed: int = 0,
     debugger=None,
+    pad_multiple: Optional[int] = None,
 ) -> List[jnp.ndarray]:
     """Sequential per-fidelity training (`AR_autoRegression.py:92-140`).
 
@@ -164,12 +165,16 @@ def train_AR(
     for i_fid in range(model.fidelity_num):
         if i_fid == 0:
             x_low, y_low = data_manager.get_data(0, normal=True)
-            x_low = jnp.asarray(x_low, jnp.float32)
-            y_low = jnp.asarray(y_low, jnp.float32)
             gp = model.gp_list[0]
+            if pad_multiple:
+                x_low, y_low, mask0 = pad_with_mask(x_low, y_low, pad_multiple)
+            else:
+                x_low = jnp.asarray(x_low, jnp.float32)
+                y_low = jnp.asarray(y_low, jnp.float32)
+                mask0 = None
 
             def loss0(p):
-                return gp.nll(p, x_low, y_low)
+                return gp.nll(p, x_low, y_low, mask=mask0)
 
             stage_params = model.params["gp"][0]
             stage_params, hist = _run_stage(
@@ -205,18 +210,27 @@ def train_AR(
                 _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
                     i_fid - 1, i_fid, normal=True
                 )
-                sx = jnp.asarray(subset_x, jnp.float32)
-                yl = jnp.asarray(y_low, jnp.float32)
-                yh = jnp.asarray(y_high, jnp.float32)
                 gp = model.gp_list[i_fid]
+                if pad_multiple:
+                    sx, yl, mask_i = pad_with_mask(subset_x, y_low, pad_multiple)
+                    _, yh, _ = pad_with_mask(subset_x, y_high, pad_multiple)
+                else:
+                    sx = jnp.asarray(subset_x, jnp.float32)
+                    yl = jnp.asarray(y_low, jnp.float32)
+                    yh = jnp.asarray(y_high, jnp.float32)
+                    mask_i = None
 
                 rho0 = model.params["rho"][i_fid - 1]
-                shift, scale = _residual_norm(yh - rho0 * yl)
+                shift, scale = _residual_norm(
+                    jnp.asarray(y_high, jnp.float32)
+                    - rho0 * jnp.asarray(y_low, jnp.float32)
+                )
                 model.stage_norm[i_fid] = (shift, scale)
 
-                def loss_i(p, gp=gp, sx=sx, yl=yl, yh=yh, shift=shift, scale=scale):
+                def loss_i(p, gp=gp, sx=sx, yl=yl, yh=yh, shift=shift,
+                           scale=scale, mask_i=mask_i):
                     res_mean = (yh - p["rho"] * yl - shift) / scale
-                    return gp.nll(p["gp"], sx, res_mean)
+                    return gp.nll(p["gp"], sx, res_mean, mask=mask_i)
 
             stage_params = {
                 "gp": model.params["gp"][i_fid],
@@ -247,10 +261,17 @@ def train_AR(
                 )
             else:
                 res_mean = np.asarray((yh - rho * yl - shift) / scale)
+                sx_store = np.asarray(sx)
+                if pad_multiple:
+                    # store only the live rows: padded zero-rows must never
+                    # enter the prediction cascade as training data
+                    n_live = int(np.sum(np.asarray(mask_i)))
+                    sx_store = sx_store[:n_live]
+                    res_mean = res_mean[:n_live]
                 data_manager.add_data(
                     raw_fidelity_name=f"res-{i_fid}",
                     fidelity_index=None,
-                    x=np.asarray(sx),
+                    x=sx_store,
                     y=[res_mean, None],
                 )
         histories.append(hist)
@@ -281,6 +302,26 @@ def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
         batch = perturb_params(key, params, n=n_restarts)
     best, result = fit_restarts(loss_fn, batch, steps=steps, lr=lr)
     return best, result.losses
+
+
+def pad_with_mask(x, y, pad_multiple: int):
+    """Pad (x, y) row counts up to the next multiple of ``pad_multiple``
+    and return (x_pad, y_pad, mask).  With padding, stage shapes stay
+    constant as BO datasets grow, so the jitted training scan is compiled
+    ONCE per bucket instead of once per dataset size (SURVEY.md §7
+    hard-part #1); the masked NLML is exactly the unpadded one
+    (`ops/linalg.py`)."""
+    import math as _math
+
+    from fidelityfusion_tpu.ops import linalg as _L
+
+    n = x.shape[0]
+    n_pad = int(_math.ceil(n / pad_multiple) * pad_multiple)
+    return (
+        _L.pad_rows(jnp.asarray(x, jnp.float32), n_pad),
+        _L.pad_rows(jnp.asarray(y, jnp.float32), n_pad),
+        _L.row_mask(n, n_pad),
+    )
 
 
 def _residual_norm(res) -> tuple:

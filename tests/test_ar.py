@@ -71,3 +71,20 @@ def test_ar_restarts(toy_sin_data):
     model = AR(3, kernel_list, input_dim=1)
     hist = train_AR(model, dm, max_iter=30, lr_init=1e-2, n_restarts=3)
     assert len(hist) == 3
+
+
+def test_ar_padded_training_equivalence(toy_sin_data):
+    """pad_multiple gives the same quality and keeps stage shapes in fixed
+    buckets (the static-shape story for growing BO datasets)."""
+    dm = build_manager(toy_sin_data)
+    model = AR(3, [SquaredExponentialKernel() for _ in range(3)], input_dim=1)
+    train_AR(model, dm, max_iter=200, lr_init=5e-2, n_restarts=1,
+             pad_multiple=64)
+    x_test, y_test = toy_sin_data["test"]
+    mean, _ = model.forward(dm, jnp.asarray(x_test, jnp.float32))
+    rmse = float(np.sqrt(np.mean((np.asarray(mean).ravel() - y_test.ravel()) ** 2)))
+    assert rmse < 0.15, f"padded AR rmse {rmse}"
+    # residual datasets must contain only live rows
+    x_r, _ = dm.get_data_by_name("res-1")
+    assert len(x_r) <= 300
+    assert not np.allclose(x_r[-1], 0.0)
