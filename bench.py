@@ -51,6 +51,30 @@ def log(msg):
 
 
 # --------------------------------------------------------------- stage code
+def _se_params():
+    """CIGP+SE params built in PURE numpy: creating them with jnp puts
+    them on the device and fetching them back (np.asarray) is the exact
+    call the tunnel intermittently deadlocks on right after client init."""
+    import numpy as np
+
+    return {
+        "kernel": {
+            "length_scale": np.ones(1, np.float32),
+            "signal_variance": np.ones(1, np.float32),
+        },
+        "log_beta": np.ones(1, np.float32),
+    }
+
+
+def _ard_params(d):
+    import numpy as np
+
+    return {
+        "length_scales": np.ones(d, np.float32),
+        "signal_variance": np.ones(1, np.float32),
+    }
+
+
 def _watchdog(seconds=120):
     import faulthandler
 
@@ -88,7 +112,7 @@ def stage_nlml(n: int):
     x = (rng.random((n, 1)) * 20).astype(np.float32)
     y = np.sin(x)
     gp = CIGP(kernel=SquaredExponentialKernel())
-    p0 = jax.tree_util.tree_map(np.asarray, gp.init_params(1))
+    p0 = _se_params()
     opt = optax.adam(1e-2)
 
     def mk(L):
@@ -123,7 +147,7 @@ def stage_nlml_fused(n: int):
     x = (rng.random((n, 1)) * 20).astype(np.float32)
     y = np.sin(x)
     gp = CIGP(kernel=SquaredExponentialKernel(), fused_nll=True)
-    p0 = jax.tree_util.tree_map(np.asarray, gp.init_params(1))
+    p0 = _se_params()
     opt = optax.adam(1e-2)
 
     def mk(L):
@@ -159,7 +183,7 @@ def stage_restarts():
     x = (rng.random((n, 1)) * 20).astype(np.float32)
     y = np.sin(x)
     gp = CIGP(kernel=SquaredExponentialKernel())
-    p0 = jax.tree_util.tree_map(np.asarray, gp.init_params(1))
+    p0 = _se_params()
     batch = jax.tree_util.tree_map(
         lambda a: np.stack([a + 0.01 * i for i in range(R)]), p0
     )
@@ -223,7 +247,7 @@ def stage_gram():
 
     xg = np.random.default_rng(0).random((4096, 8)).astype(np.float32)
     ard = ARDKernel()
-    ap = jax.tree_util.tree_map(np.asarray, ard.init_params(8))
+    ap = _ard_params(8)
 
     def mk(L):
         def fn():
@@ -277,10 +301,8 @@ def stage_pallas_gram():
     from fidelityfusion_tpu.ops.pallas_gram import gram_sigma_ard
     from fidelityfusion_tpu.ops.kernels import ARDKernel
 
-    import jax as _jax
-
     xg = np.random.default_rng(0).random((4096, 8)).astype(np.float32)
-    ap = _jax.tree_util.tree_map(np.asarray, ARDKernel().init_params(8))
+    ap = _ard_params(8)
 
     def mk(L):
         def fn():
@@ -369,6 +391,37 @@ def run_stage_subprocess(name: str, timeout: int = 240, retries: int = 1):
     return RECORDED.get(name, float("nan")), False
 
 
+PROBE_CODE = (
+    "import jax, jax.numpy as jnp; print(float(jnp.zeros(())) + 1.0)"
+)
+
+
+def wait_device_ready(max_tries: int = 10, probe_timeout: int = 45) -> bool:
+    """Gate on the device actually answering: the tunneled chip's first
+    post-claim fetch can hang when another client exited recently.  A
+    killed PROBE only waits on the claim (holds nothing), so timing it out
+    is safe; two consecutive successes = settled."""
+    streak = 0
+    for i in range(max_tries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", PROBE_CODE],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            if proc.returncode == 0 and "1.0" in proc.stdout:
+                streak += 1
+                if streak >= 2:
+                    return True
+                time.sleep(5)
+                continue
+        except subprocess.TimeoutExpired:
+            pass
+        streak = 0
+        log(f"[probe] device not ready (try {i + 1}/{max_tries})")
+        time.sleep(20)
+    return False
+
+
 def run_monolithic(timeout: int = 1500):
     """All stages under one device claim; returns {name: value}."""
     out = {}
@@ -428,6 +481,8 @@ def main():
         "restarts": "agg steps/s", "chol4096": "TFLOP/s", "gram4096": "ms",
         "pallas_chol4096": "TFLOP/s", "pallas_gram4096": "ms",
     }
+    if not wait_device_ready():
+        log("[probe] device never settled; recorded fallbacks likely")
     mono = run_monolithic()
     for name in STAGE_ORDER:
         if name in mono:
