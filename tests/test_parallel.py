@@ -92,3 +92,29 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_initialize_distributed_single_process():
+    from fidelityfusion_tpu.parallel.multihost import (
+        initialize_distributed,
+        is_main_process,
+    )
+
+    info = initialize_distributed()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == 8
+    assert is_main_process()
+
+
+def test_restart_scaling_efficiency_runs():
+    """Weak-scaling harness: 8 virtual CPU devices should process 8x the
+    restarts in comparable time (efficiency well above the serial 1/8)."""
+    from fidelityfusion_tpu.parallel.multihost import restart_scaling_efficiency
+
+    res = restart_scaling_efficiency(
+        n=128, steps=40, restarts_per_device=2, device_counts=(1, None), reps=2
+    )
+    assert res["weak_scaling_efficiency_D1"] == 1.0
+    assert "weak_scaling_efficiency_D8" in res
+    # on a 2-core host, 8 virtual devices timeshare; just require sane output
+    assert 0.0 < res["weak_scaling_efficiency_D8"] <= 1.5
