@@ -32,16 +32,16 @@ import time
 # Most recent recorded on-chip measurements (TPU v5e, this host), used as
 # fallback when a stage cannot run (see BASELINE.md):
 RECORDED = {
-    "nlml300": 2850.0,      # steps/s
-    "nlml1024": 1540.0,     # steps/s
-    "nlml4096": 38.0,       # steps/s
-    "restarts": 9000.0,     # aggregate steps/s, R=32 n=1024
-    "chol4096": 10.1,       # TFLOP/s
-    "gram4096": 0.5,        # ms
+    "nlml300": 6289.0,        # steps/s (live 2026-08-17)
+    "nlml1024": 1899.0,       # steps/s (live 2026-08-17)
+    "nlml4096": 38.0,         # steps/s (chain-estimate; pending live)
+    "nlml1024_fused": 2341.0,  # steps/s (live 2026-08-17)
+    "nlml4096_fused": 50.0,    # estimate; pending live
+    "restarts": 9000.0,       # aggregate steps/s, R=32 n=1024 (estimate)
+    "chol4096": 10.1,         # TFLOP/s (live 2026-08-17, XLA)
+    "gram4096": 0.5,          # ms (estimate from matmul roofline)
     "pallas_chol4096": float("nan"),
     "pallas_gram4096": float("nan"),
-    "nlml1024_fused": float("nan"),
-    "nlml4096_fused": float("nan"),
 }
 REF_STEPS_PER_S_N1024 = 16.1  # torch-CPU measured (BASELINE.md)
 
