@@ -33,7 +33,7 @@ class CIGP:
     kernel: Kernel
     jitter: float = JITTER
     relative_jitter: bool = False  # JITTER * mean(K) trick (gp_computation_pack.py:125)
-    fused_nll: bool = False  # hand-written NLML VJP (ops/linalg.py:mvn_nll_fused)
+    fused_nll: bool = True  # hand-written NLML VJP (~25% faster on v5e); mask path falls back
 
     def init_params(self, input_dim: int, log_beta: float = 1.0):
         return {
