@@ -53,13 +53,18 @@ class Forrester:
         return ys[s - 1]
 
     def initiate_data(self, index: Dict[int, int], seed: int):
-        """Seeded initial design: low-fidelity points, high-fidelity a
-        subset of them plus 2 extra (`Forrester.py:58-72`)."""
+        """Seeded initial design (`Forrester.py:58-72`): fidelity-1 points
+        sampled uniformly; each higher fidelity is a nested subset of the
+        one below plus 2 fresh points (generalizes the reference's
+        2-fidelity scheme to ``total_fidelity_num`` levels)."""
         rng = np.random.default_rng(seed)
-        x_low = rng.random((index[1], 1))
-        x_high = np.concatenate([x_low[: index[2] - 2], rng.random((2, 1))], axis=0)
-        xs = [x_low, x_high]
-        ys = [self.get_data(x_low, 1), self.get_data(x_high, 2)]
+        xs = [rng.random((index[1], 1))]
+        for f in range(2, self.total_fidelity_num + 1):
+            n_f = index.get(f, max(2, index[1] // (2 ** (f - 1))))
+            xs.append(
+                np.concatenate([xs[-1][: n_f - 2], rng.random((2, 1))], axis=0)
+            )
+        ys = [self.get_data(x, f + 1) for f, x in enumerate(xs)]
         return xs, ys
 
     Initiate_data = initiate_data  # reference-compatible alias

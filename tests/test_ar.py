@@ -88,3 +88,19 @@ def test_ar_padded_training_equivalence(toy_sin_data):
     x_r, _ = dm.get_data_by_name("res-1")
     assert len(x_r) <= 300
     assert not np.allclose(x_r[-1], 0.0)
+
+
+def test_ar_training_deterministic(toy_sin_data):
+    """Same seed -> bitwise-identical predictions (the framework's
+    determinism story: explicit PRNG keys everywhere, no global RNG —
+    SURVEY.md §5.2)."""
+    preds = []
+    for _ in range(2):
+        dm = build_manager(toy_sin_data)
+        model = AR(3, [SquaredExponentialKernel() for _ in range(3)], input_dim=1)
+        train_AR(model, dm, max_iter=40, lr_init=5e-2, n_restarts=2, seed=7)
+        mean, _ = model.forward(
+            dm, jnp.asarray(toy_sin_data["test"][0], jnp.float32)
+        )
+        preds.append(np.asarray(mean))
+    np.testing.assert_array_equal(preds[0], preds[1])

@@ -141,3 +141,12 @@ def test_mf_bo_discrete_loop_runs():
     inc = record["incumbents"]
     assert all(b >= a - 1e-9 for a, b in zip(inc, inc[1:]))
     assert len(record["cost"]) == 3
+
+
+def test_forrester_multi_fidelity_init():
+    f4 = Forrester(4)
+    xs, ys = f4.initiate_data({1: 16, 2: 8, 3: 6, 4: 4}, seed=0)
+    assert [len(x) for x in xs] == [16, 8, 6, 4]
+    assert len(ys) == 4
+    # nested subsets: first rows of each level come from the level below
+    np.testing.assert_array_equal(xs[1][:6], xs[0][:6])
