@@ -46,21 +46,35 @@ def mf_bo_discrete(
     acq_lr: float = 0.1,
     gamma: Optional[List[float]] = None,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
 ) -> Dict[str, List]:
     """Discrete multi-fidelity BO (`MF_BO_discrete.py:33-152`).
 
     ``objective`` follows the `data/objectives.py` protocol (2 fidelities).
     Returns the record dict {cost, incumbents, operation_time, X, S}.
+
+    ``checkpoint_path`` enables resume: the record + datasets are persisted
+    after every iteration and reloaded on restart (capability the reference
+    lacks — its only checkpoint is the NaN-rollback snapshot, SURVEY.md §5.4).
     """
+    from fidelityfusion_tpu.utils.checkpoint import load_bo_state, save_bo_state
+    import os
+
     init_index = init_index or {1: 10, 2: 4}
     fidelity_num = objective.total_fidelity_num
-    xs, ys = objective.initiate_data(init_index, seed)
+    record = {"cost": [], "incumbents": [], "operation_time": [], "X": [], "S": []}
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        record, xs, ys = load_bo_state(checkpoint_path)
+        xs, ys = list(xs), list(ys)
+        if verbose:
+            print(f"resumed from {checkpoint_path} at iteration {len(record['S'])}")
+    else:
+        xs, ys = objective.initiate_data(init_index, seed)
     key = jax.random.PRNGKey(seed)
 
-    record = {"cost": [], "incumbents": [], "operation_time": [], "X": [], "S": []}
     bounds = np.asarray(objective.search_range[: objective.x_dim], float)
 
-    for it in range(bo_iterations):
+    for it in range(len(record["S"]), bo_iterations):
         t0 = time.time()
         dm = MultiFidelityDataManager(
             [
@@ -131,6 +145,8 @@ def mf_bo_discrete(
         record["cost"].append(objective.cost.compute_model_cost(ys))
         record["incumbents"].append(float(np.max(ys[-1])))
         record["operation_time"].append(time.time() - t0)
+        if checkpoint_path:
+            save_bo_state(checkpoint_path, record, xs, ys)
         if verbose:
             print(
                 f"iter {it}: x={new_x.ravel()}, s={new_s}, "

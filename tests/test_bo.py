@@ -150,3 +150,18 @@ def test_forrester_multi_fidelity_init():
     assert len(ys) == 4
     # nested subsets: first rows of each level come from the level below
     np.testing.assert_array_equal(xs[1][:6], xs[0][:6])
+
+
+def test_mf_bo_checkpoint_resume(tmp_path):
+    """BO loop resumes from the persisted state and continues the record."""
+    f = Forrester(2)
+    ckpt = str(tmp_path / "bo.npz")
+    rec1 = mf_bo_discrete(f, bo_iterations=2, init_index={1: 8, 2: 4}, seed=0,
+                          train_iters=30, acq_iterations=10,
+                          checkpoint_path=ckpt)
+    assert len(rec1["S"]) == 2
+    rec2 = mf_bo_discrete(f, bo_iterations=4, init_index={1: 8, 2: 4}, seed=0,
+                          train_iters=30, acq_iterations=10,
+                          checkpoint_path=ckpt)
+    assert len(rec2["S"]) == 4
+    assert rec2["incumbents"][:2] == rec1["incumbents"]
