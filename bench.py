@@ -75,7 +75,7 @@ def _ard_params(d):
     }
 
 
-def _watchdog(seconds=120):
+def _watchdog(seconds=420):
     import faulthandler
 
     faulthandler.dump_traceback_later(seconds, exit=True)
@@ -96,7 +96,7 @@ def _chain_time(make_fn, L1, L2, reps=3):
 
 
 def stage_nlml(n: int):
-    _watchdog(150)
+    _watchdog(420)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -128,13 +128,13 @@ def stage_nlml(n: int):
 
         return jax.jit(fn)
 
-    L1, L2 = (5, 55) if n >= 4096 else (10, 110)
+    L1, L2 = (3, 23) if n >= 4096 else (10, 110)
     per = _chain_time(mk, L1, L2)
     return 1.0 / per
 
 
 def stage_nlml_fused(n: int):
-    _watchdog(150)
+    _watchdog(420)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -163,13 +163,13 @@ def stage_nlml_fused(n: int):
 
         return jax.jit(fn)
 
-    L1, L2 = (5, 55) if n >= 4096 else (10, 110)
+    L1, L2 = (3, 23) if n >= 4096 else (10, 110)
     per = _chain_time(mk, L1, L2)
     return 1.0 / per
 
 
 def stage_restarts():
-    _watchdog(150)
+    _watchdog(420)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -212,7 +212,7 @@ def stage_restarts():
 
 
 def stage_chol():
-    _watchdog(150)
+    _watchdog(420)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -238,7 +238,7 @@ def stage_chol():
 
 
 def stage_gram():
-    _watchdog(150)
+    _watchdog(420)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -265,7 +265,7 @@ def stage_gram():
 
 
 def stage_pallas_chol():
-    _watchdog(200)
+    _watchdog(450)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -293,7 +293,7 @@ def stage_pallas_chol():
 
 
 def stage_pallas_gram():
-    _watchdog(150)
+    _watchdog(420)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -364,7 +364,7 @@ STAGES = {
 }
 
 
-def run_stage_subprocess(name: str, timeout: int = 240, retries: int = 1):
+def run_stage_subprocess(name: str, timeout: int = 480, retries: int = 1):
     """Run one stage isolated; returns (value, live) where live=False means
     the recorded fallback was used.  The remote device claim takes a few
     seconds to hand over between client processes, so each stage waits
