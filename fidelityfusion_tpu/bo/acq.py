@@ -12,7 +12,7 @@ max-convention (`UCB.forward`, `acq.py:132-144`).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,9 +12,8 @@ behavior, SURVEY.md §2.6.)
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,7 +13,7 @@ Python because it mutates the dataset (SURVEY.md §7).
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

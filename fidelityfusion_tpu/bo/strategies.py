@@ -24,7 +24,7 @@ posterior closures and returns the next ``(x, fidelity)`` query.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ plus a ``search_range`` box and a cost model.  Implemented in numpy
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import numpy as np
 

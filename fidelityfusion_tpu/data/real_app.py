@@ -17,7 +17,7 @@ in [0, 1]) and s the 1-based fidelity (epoch budget = 10 * s).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

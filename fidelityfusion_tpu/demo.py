@@ -15,7 +15,6 @@ r2/rmse/nll/nrmse.
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 
 

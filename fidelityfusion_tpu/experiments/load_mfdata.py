@@ -12,7 +12,7 @@ inside the low-fidelity x; non-subset sampling draws them independently
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -7,7 +7,6 @@ functions over arrays (the reference detours through sklearn +
 
 from __future__ import annotations
 
-import math
 from typing import Dict
 
 import numpy as np

@@ -16,7 +16,7 @@ TPU-native re-design of the reference coupling layer:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

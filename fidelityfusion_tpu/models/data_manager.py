@@ -14,7 +14,7 @@ API mirrors the reference so that model/training code reads the same:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ Differences from the reference (deliberate):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 

@@ -21,9 +21,6 @@ do, so `model.forward` works unchanged.
 
 from __future__ import annotations
 
-from typing import List, Tuple
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,7 +28,7 @@ from fidelityfusion_tpu.models.ar import AR, _residual_norm
 from fidelityfusion_tpu.models.car import ContinuousAutoRegression
 from fidelityfusion_tpu.models.nar import NAR
 from fidelityfusion_tpu.models.resgp import ResGP
-from fidelityfusion_tpu.train.fit import FitResult, fit
+from fidelityfusion_tpu.train.fit import fit
 
 
 def _stage_data(model, dm):

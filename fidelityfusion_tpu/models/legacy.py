@@ -23,13 +23,12 @@ recommended path is the jitted trainers in `models/joint.py` /
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fidelityfusion_tpu.models.cigp import CIGP as CIGPCore, GPBasic
+from fidelityfusion_tpu.models.cigp import CIGP as CIGPCore
 from fidelityfusion_tpu.models.fides import FIDES as FIDESCore, FidelityBounds
 from fidelityfusion_tpu.models.hogp import HOGP as HOGPCore
 from fidelityfusion_tpu.ops.kernels import ARDKernel, Kernel, SquaredExponentialKernel

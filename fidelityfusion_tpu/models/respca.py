@@ -18,7 +18,7 @@ the reference (smallest rank capturing ``energy`` of total variance).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -25,8 +25,6 @@ Positivity parametrizations follow the reference exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

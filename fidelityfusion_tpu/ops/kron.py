@@ -10,7 +10,7 @@ never materialized — everything runs through per-mode factors.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 

@@ -23,8 +23,6 @@ that do not tile (callers use `ops.kernels` directly in that case).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

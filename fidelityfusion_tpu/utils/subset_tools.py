@@ -9,7 +9,7 @@ numpy-compat decorator, `subset_tools.py:16-41`).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
