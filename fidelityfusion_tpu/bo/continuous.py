@@ -107,3 +107,137 @@ class ContinuousFidelityUCB:
         ]
         new_z = float(min(candidates)) if candidates else float(self.search_range[-1][0])
         return new_x, new_z
+
+
+def _candidate_grid(key, search_range, x_dimension, n):
+    """Random x candidates + sorted z candidates, paired by index
+    (`Continuous/MF_ES.py:13-20`, `Continuous/CFKG.py:73-81`)."""
+    kx, kz = jax.random.split(key)
+    bounds = np.asarray(search_range[:x_dimension], float)
+    xs = np.asarray(jax.random.uniform(kx, (n, x_dimension)))
+    xs = xs * (bounds[:, 1] - bounds[:, 0]) + bounds[:, 0]
+    z_lo, z_hi = search_range[-1]
+    zs = np.sort(np.asarray(jax.random.uniform(kz, (n,))) * (z_hi - z_lo) + z_lo)
+    return xs.astype(np.float32), zs
+
+
+class ContinuousFidelityES:
+    """Entropy search over continuous fidelities (`Continuous/MF_ES.py:8-88`
+    + `Continuous/ES.py:25-178`).
+
+    The reference draws paired random (x, z) candidate grids and returns
+    the argmax of an emukit-EPMGP entropy-search score.  Self-contained
+    TPU re-design: p(argmin) over the x grid is estimated by MC sampling
+    of the diagonal top-fidelity posterior; candidate (x_i, z_i) is scored
+    by the reduction in p_min entropy when the posterior variance at x_i
+    collapses by the z-correlation factor xi(z_i)^2 = 1 - phi(z_i)^2 (an
+    observation at fidelity z carries phi(z)^2 of the top-fidelity
+    information), divided by cost(z_i) when ``cost_aware``.
+    """
+
+    def __init__(
+        self,
+        x_dimension: int,
+        search_range,
+        posterior_fn: Callable,
+        cost,
+        seed: int = 0,
+        n_candidates: int = 100,
+        n_mc: int = 128,
+        length_scale_z: float = 1.0,
+        cost_aware: bool = True,
+    ):
+        self.x_dimension = x_dimension
+        self.search_range = search_range
+        self.posterior_fn = posterior_fn
+        self.cost = cost
+        self.seed = seed
+        self.n_mc = n_mc
+        self.length_scale_z = length_scale_z
+        self.cost_aware = cost_aware
+        self.xs, self.zs = _candidate_grid(
+            jax.random.PRNGKey(seed), search_range, x_dimension, n_candidates
+        )
+
+    def compute_next(self) -> Tuple[np.ndarray, float]:
+        z_top = float(self.search_range[-1][-1])
+        mean, var = self.posterior_fn(jnp.asarray(self.xs), z_top)
+        mean = mean.reshape(-1)
+        std = jnp.sqrt(jnp.maximum(var.reshape(-1), 1e-12))
+
+        key = jax.random.PRNGKey(self.seed + 131)
+        eps = jax.random.normal(key, (self.n_mc, mean.shape[0]))
+
+        def pmin_entropy(std_v):
+            samples = mean[None, :] + std_v[None, :] * eps
+            mins = jnp.argmin(samples, axis=1)
+            counts = jnp.bincount(mins, length=mean.shape[0]) + 1e-3
+            p = counts / jnp.sum(counts)
+            return -jnp.sum(p * jnp.log(p))
+
+        h0 = pmin_entropy(std)
+        phi = jnp.exp(-0.5 * ((jnp.asarray(self.zs) - z_top) / self.length_scale_z) ** 2)
+        xi2 = jnp.maximum(1.0 - phi**2, 0.0)
+
+        def h_after(i):
+            # observing at (x_i, z_i) shrinks var at x_i by factor xi(z_i)^2
+            return pmin_entropy(std.at[i].set(std[i] * jnp.sqrt(xi2[i])))
+
+        gains = h0 - jax.vmap(h_after)(jnp.arange(len(self.zs)))
+        scores = np.asarray(gains)
+        if self.cost_aware:
+            scores = scores / np.maximum(self.cost.compute_cost(self.zs), 1e-9)
+        j = int(np.argmax(scores))
+        return self.xs[j].reshape(1, -1), float(self.zs[j])
+
+
+class ContinuousFidelityKG:
+    """Continuous-fidelity knowledge gradient (`Continuous/CFKG.py:11-140`).
+
+    Random (x, z) candidates; per candidate, fantasize an observation at
+    (x, z), retrain the surrogate (caller-supplied ``fantasy_max_fn``),
+    and score the gain in max top-fidelity posterior mean per unit cost;
+    pick the argmax (`CFKG.py:33-70,113-119`).
+
+    ``fantasy_max_fn(x (1,d), z) -> float`` returns the max top-fidelity
+    posterior mean over a reference grid after adding the fantasized
+    observation — the analog of the reference's retrain-then-predict
+    (`CFKG.py:62-64`).
+    """
+
+    def __init__(
+        self,
+        x_dimension: int,
+        search_range,
+        posterior_fn: Callable,
+        fantasy_max_fn: Callable,
+        cost,
+        seed: int = 0,
+        n_candidates: int = 20,
+        n_grid: int = 100,
+    ):
+        self.x_dimension = x_dimension
+        self.search_range = search_range
+        self.posterior_fn = posterior_fn
+        self.fantasy_max_fn = fantasy_max_fn
+        self.cost = cost
+        self.seed = seed
+        self.xs, self.zs = _candidate_grid(
+            jax.random.PRNGKey(seed + 86), search_range, x_dimension, n_candidates
+        )
+        self.grid, _ = _candidate_grid(
+            jax.random.PRNGKey(seed + 117), search_range, x_dimension, n_grid
+        )
+
+    def compute_next(self) -> Tuple[np.ndarray, float]:
+        z_top = float(self.search_range[-1][-1])
+        mean, _ = self.posterior_fn(jnp.asarray(self.grid), z_top)
+        base = float(jnp.max(mean))
+        best, new_x, new_z = -np.inf, self.xs[0:1], float(self.zs[0])
+        for i in range(len(self.zs)):
+            x_i = self.xs[i].reshape(1, -1)
+            after = float(self.fantasy_max_fn(x_i, float(self.zs[i])))
+            kg = (after - base) / max(float(self.cost.compute_cost(self.zs[i])), 1e-9)
+            if kg > best:
+                best, new_x, new_z = kg, x_i, float(self.zs[i])
+        return new_x, new_z

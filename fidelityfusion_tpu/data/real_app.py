@@ -128,3 +128,117 @@ class MLPTrainingObjective:
         )
 
     Initiate_data = initiate_data
+
+
+def _make_image_dataset(key, n=256, size=8, n_classes=4):
+    """Synthetic image classification: a bright blob in one of four
+    quadrants (+noise); the class is the quadrant."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    y = jax.random.randint(k1, (n,), 0, n_classes)
+    cy = jnp.where(y // 2 == 0, size // 4, 3 * size // 4).astype(jnp.float32)
+    cx = jnp.where(y % 2 == 0, size // 4, 3 * size // 4).astype(jnp.float32)
+    jit_pos = jax.random.normal(k2, (n, 2)) * 0.5
+    rows = jnp.arange(size, dtype=jnp.float32)
+    d2 = (
+        (rows[None, :, None] - (cy + jit_pos[:, 0])[:, None, None]) ** 2
+        + (rows[None, None, :] - (cx + jit_pos[:, 1])[:, None, None]) ** 2
+    )
+    X = jnp.exp(-0.5 * d2 / 2.0) + 0.3 * jax.random.normal(k3, (n, size, size))
+    return X[..., None], y  # NHWC
+
+
+class CNNTrainingObjective:
+    """Hyperparameter-BO objective: validation accuracy of a small CNN
+    after ``10*s`` epochs (`cnn_cifar10.py:60-117` analog; this environment
+    has no dataset downloads, so the images are a seeded synthetic
+    quadrant-classification task).  x = (log10 lr, channel-width fraction);
+    fidelity s is 1-based -> 10*s full-batch Adam epochs on the MXU-friendly
+    conv path (`lax.conv_general_dilated` via flax-free explicit params)."""
+
+    def __init__(self, total_fidelity_num: int = 2, seed: int = 0,
+                 max_channels: int = 16, image_size: int = 8):
+        self.total_fidelity_num = total_fidelity_num
+        self.x_dim = 2
+        self.search_range = [[-4.0, -1.0], [0.0, 1.0], [0, 1]]
+        self.cost = LinearCost(rate=10.0)
+        self.max_channels = max_channels
+        self.image_size = image_size
+        key = jax.random.PRNGKey(seed)
+        ktr, kva = jax.random.split(key)
+        self.X_train, self.y_train = _make_image_dataset(ktr, n=256, size=image_size)
+        self.X_val, self.y_val = _make_image_dataset(kva, n=128, size=image_size)
+
+    def _train_one(self, log10_lr: float, width_frac: float, epochs: int,
+                   seed: int = 0) -> float:
+        import optax
+
+        ch = max(2, int(round(width_frac * self.max_channels)))
+        lr = 10.0 ** float(log10_lr)
+        size, n_classes = self.image_size, 4
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        feat = (size // 2) * (size // 2) * ch
+        params = {
+            "conv": jax.random.normal(k1, (3, 3, 1, ch)) * 0.3,
+            "w": jax.random.normal(k2, (feat, n_classes)) * 0.1,
+            "b": jnp.zeros((n_classes,)),
+        }
+
+        def logits(p, X):
+            h = jax.lax.conv_general_dilated(
+                X, p["conv"], window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = jax.nn.relu(h)
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+            return h.reshape(h.shape[0], -1) @ p["w"] + p["b"]
+
+        def loss_fn(p, X, y):
+            lg = logits(p, X)
+            return jnp.mean(-jax.nn.log_softmax(lg)[jnp.arange(len(y)), y])
+
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def run(p, X, y, Xv, yv):
+            def step(carry, _):
+                p, s = carry
+                g = jax.grad(loss_fn)(p, X, y)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), ()
+
+            (p_f, _), _ = jax.lax.scan(step, (p, opt.init(p)), None,
+                                       length=epochs)
+            acc = jnp.mean(
+                (jnp.argmax(logits(p_f, Xv), axis=1) == yv).astype(jnp.float32)
+            )
+            return acc
+
+        return float(run(params, self.X_train, self.y_train,
+                         self.X_val, self.y_val))
+
+    def get_data(self, x: np.ndarray, s: int) -> np.ndarray:
+        x = np.atleast_2d(np.asarray(x, float))
+        out = np.array(
+            [self._train_one(row[0], row[1], epochs=10 * int(s)) for row in x]
+        )
+        return out.reshape(-1, 1)
+
+    def initiate_data(self, index: Dict[int, int], seed: int):
+        rng = np.random.default_rng(seed)
+
+        def sample(n):
+            lr = rng.random((n, 1)) * 3 - 4
+            w = rng.random((n, 1))
+            return np.concatenate([lr, w], axis=1)
+
+        x_low = sample(index[1])
+        x_high = np.concatenate([x_low[: index[2] - 2], sample(2)], axis=0)
+        return (
+            [x_low, x_high],
+            [self.get_data(x_low, 1), self.get_data(x_high, 2)],
+        )
+
+    Initiate_data = initiate_data

@@ -197,8 +197,8 @@ def cholesky_blocked(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(A.astype(jnp.float32))

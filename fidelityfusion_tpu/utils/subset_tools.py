@@ -89,3 +89,48 @@ class Normalize0Layer:
     def inverse_var(self, var):
         """Covariance transform (`gp_transform.py:44-62`)."""
         return np.asarray(var) * self.std**2
+
+
+class NormalizeLayer:
+    """Per-dimension standardization with inverse
+    (`GaussianProcess/gp_transform.py:25-35` `Normalize_layer`)."""
+
+    def __init__(self, data, dim: int = 0):
+        data = np.asarray(data, np.float64)
+        self.mean = data.mean(axis=dim)
+        self.std = data.std(axis=dim, ddof=1) + 1e-10
+
+    def forward(self, x):
+        return (np.asarray(x) - self.mean) / self.std
+
+    def inverse(self, x):
+        return np.asarray(x) * self.std + self.mean
+
+
+class Normalize0DistributionLayer(Normalize0Layer):
+    """Whole-tensor standardization that also transforms the covariance
+    (`gp_transform.py:38-47` `Normalize0_DistributionLayer`): a scalar
+    scale acts on Sigma as Sigma/std^2 (forward) / Sigma*std^2 (inverse)."""
+
+    def forward(self, x, Sigma=0):
+        return super().forward(x), np.asarray(Sigma) / self.std**2
+
+    def inverse(self, x, Sigma=0):
+        return super().inverse(x), np.asarray(Sigma) * self.std**2
+
+
+class NormalizeDistributionLayer(NormalizeLayer):
+    """Per-dimension standardization transforming a full covariance matrix
+    (`gp_transform.py:49-62` `Normalize_DistributionLayer`):
+    Sigma' = D^{-1} Sigma D^{-1} with D = diag(std) (forward), and
+    Sigma' = D Sigma D (inverse)."""
+
+    def forward(self, x, Sigma=0):
+        mean = super().forward(x)
+        inv = (1.0 / self.std).reshape(-1, 1)
+        return mean, inv * np.asarray(Sigma) * inv.T
+
+    def inverse(self, x, Sigma=0):
+        mean = super().inverse(x)
+        s = self.std.reshape(-1, 1)
+        return mean, s * np.asarray(Sigma) * s.T

@@ -43,6 +43,17 @@ def test_mlp_objective_protocol():
     assert acc2 >= acc1 - 0.1
 
 
+def test_cnn_objective_protocol():
+    from fidelityfusion_tpu.data.real_app import CNNTrainingObjective
+
+    obj = CNNTrainingObjective(2, seed=0)
+    xs, ys = obj.initiate_data({1: 3, 2: 3}, seed=1)
+    assert xs[0].shape == (3, 2) and ys[0].shape == (3, 1)
+    assert np.all((ys[0] >= 0) & (ys[0] <= 1))
+    acc = obj.get_data(np.array([[-1.5, 0.9]]), 2)[0, 0]
+    assert 0.0 <= acc <= 1.0
+
+
 def test_cigp_with_mean_learns_offset():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((40, 1)) * 6, jnp.float32)

@@ -94,6 +94,49 @@ def test_mace_select():
     assert 0.0 <= x[0, 0] <= 1.0
 
 
+def test_continuous_es_strategy():
+    from fidelityfusion_tpu.bo.continuous import ContinuousFidelityES
+    from fidelityfusion_tpu.data.cost import ContinuousCost
+
+    def posterior(x, z):
+        mean = jnp.sum(jnp.sin(5 * x), axis=-1)
+        var = jnp.ones(x.shape[0]) * 0.4
+        return mean, var
+
+    strat = ContinuousFidelityES(
+        1, [[0.0, 1.0], [0.1, 1.0]], posterior, ContinuousCost(),
+        seed=0, n_candidates=24, n_mc=32,
+    )
+    x, z = strat.compute_next()
+    assert x.shape == (1, 1)
+    assert 0.1 <= z <= 1.0
+
+
+def test_continuous_kg_strategy():
+    from fidelityfusion_tpu.bo.continuous import ContinuousFidelityKG
+    from fidelityfusion_tpu.data.cost import ContinuousCost
+
+    def posterior(x, z):
+        mean = jnp.sum(jnp.sin(5 * x), axis=-1)
+        return mean, jnp.ones(x.shape[0]) * 0.3
+
+    calls = []
+
+    def fantasy_max(x, z):
+        calls.append(float(z))
+        # fantasizing at higher fidelity raises the max more
+        return 1.0 + 0.5 * z
+
+    strat = ContinuousFidelityKG(
+        1, [[0.0, 1.0], [0.1, 1.0]], posterior, fantasy_max,
+        ContinuousCost(), seed=0, n_candidates=8, n_grid=32,
+    )
+    x, z = strat.compute_next()
+    assert x.shape == (1, 1)
+    assert 0.1 <= z <= 1.0
+    assert len(calls) == 8
+
+
 def test_continuous_bo_loop():
     rec = mf_bo_continuous(Branin(), bo_iterations=2, n_init=6, seed=0,
                            train_iters=60)

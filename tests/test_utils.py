@@ -41,6 +41,44 @@ def test_normalize0_layer_roundtrip(rng):
     np.testing.assert_allclose(layer.inverse_var(np.ones(3)), layer.std**2 * np.ones(3))
 
 
+def test_normalize_layer_per_dim(rng):
+    from fidelityfusion_tpu.utils.subset_tools import NormalizeLayer
+
+    data = rng.standard_normal((30, 3)) * np.array([1.0, 5.0, 0.2]) + 2.0
+    layer = NormalizeLayer(data)
+    fwd = layer.forward(data)
+    np.testing.assert_allclose(fwd.mean(axis=0), 0.0, atol=1e-10)
+    np.testing.assert_allclose(layer.inverse(fwd), data, rtol=1e-8)
+
+
+def test_normalize_distribution_layers(rng):
+    from fidelityfusion_tpu.utils.subset_tools import (
+        Normalize0DistributionLayer,
+        NormalizeDistributionLayer,
+    )
+
+    data = rng.standard_normal((20, 3)) * 4 + 1
+    Sigma = np.eye(3) * 2.0
+
+    l0 = Normalize0DistributionLayer(data)
+    m, S = l0.forward(data, Sigma)
+    m2, S2 = l0.inverse(m, S)
+    np.testing.assert_allclose(m2, data, rtol=1e-8)
+    np.testing.assert_allclose(S2, Sigma, rtol=1e-8)
+
+    x = data[0]
+    ld = NormalizeDistributionLayer(data)
+    m, S = ld.forward(x, Sigma)
+    # forward/inverse covariance transforms are exact inverses
+    m2, S2 = ld.inverse(m, S)
+    np.testing.assert_allclose(m2, x, rtol=1e-8)
+    np.testing.assert_allclose(S2, Sigma, rtol=1e-8)
+    # D^{-1} Sigma D^{-1} with D = diag(std)
+    D_inv = np.diag(1.0 / ld.std)
+    _, S_fwd = ld.forward(x, Sigma)
+    np.testing.assert_allclose(S_fwd, D_inv @ Sigma @ D_inv, rtol=1e-8)
+
+
 def test_dataset_normalize_manager(rng):
     xs = [rng.random((20, 2)) * 5, rng.random((10, 2)) * 5]
     ys = [rng.random((20, 1)), rng.random((10, 1))]
