@@ -34,14 +34,14 @@ import time
 RECORDED = {
     "nlml300": 6289.0,        # steps/s (live 2026-08-17)
     "nlml1024": 1899.0,       # steps/s (live 2026-08-17)
-    "nlml4096": 38.0,         # steps/s (chain-estimate; pending live)
+    "nlml4096": 86.2,         # steps/s (live 2026-08-18)
     "nlml1024_fused": 2341.0,  # steps/s (live 2026-08-17)
-    "nlml4096_fused": 50.0,    # estimate; pending live
-    "restarts": 9000.0,       # aggregate steps/s, R=32 n=1024 (estimate)
+    "nlml4096_fused": 86.8,    # steps/s (live 2026-08-18)
+    "restarts": 2121.0,       # aggregate steps/s, R=32 n=1024 (live 2026-08-18)
     "chol4096": 10.1,         # TFLOP/s (live 2026-08-17, XLA)
     "gram4096": 0.5,          # ms (estimate from matmul roofline)
     "pallas_chol4096": float("nan"),
-    "pallas_gram4096": float("nan"),
+    "pallas_gram4096": 0.072,  # ms (live 2026-08-18, ~HBM roofline)
 }
 REF_STEPS_PER_S_N1024 = 16.1  # torch-CPU measured (BASELINE.md)
 
@@ -280,7 +280,9 @@ def stage_pallas_chol():
     def mk(L):
         def fn():
             def body(c, _):
-                Lc = cholesky_blocked(jnp.asarray(K) + (c * 1e-9) * jnp.eye(nc), block=512)
+                # block=256: the (n x B) VMEM panel at B=512 overflows the
+                # 16 MB scoped-vmem limit at n=4096
+                Lc = cholesky_blocked(jnp.asarray(K) + (c * 1e-9) * jnp.eye(nc), block=256)
                 return jnp.sum(Lc) * 1e-9, ()
 
             out, _ = jax.lax.scan(body, 0.0, None, length=L)

@@ -40,20 +40,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _chol_unblocked(a):
     """Unblocked lower Cholesky of a (B, B) VMEM-resident block via a
-    column loop of vectorized rank-1 updates."""
+    column loop of vectorized rank-1 updates.
+
+    No dynamic indexing anywhere: Pallas TPU lowering does not implement
+    `dynamic_slice`/`dynamic_update_slice` on *values* (only ref loads and
+    stores take dynamic offsets), so row/column extraction and writes use
+    iota masks + reductions instead — O(B^2) VPU work per column either way.
+    """
     B = a.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
 
     def body(c, L):
-        pivot = jnp.sqrt(jnp.maximum(L[c, c], 1e-20))
-        col = L[:, c] / pivot
-        col = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (B,), 0) >= c, col, 0.0)
+        colmask = cols == c
+        pivot2 = jnp.sum(jnp.where(colmask & (rows == c), L, 0.0))
+        pivot = jnp.sqrt(jnp.maximum(pivot2, 1e-20))
+        col = jnp.sum(jnp.where(colmask, L, 0.0), axis=1) / pivot
+        col = jnp.where(idx >= c, col, 0.0)
         # trailing update: L[:, c+1:] -= col * col[c+1:]^T restricted
         upd = col[:, None] * col[None, :]
         mask = (cols > c) & (rows >= cols)
         L = jnp.where(mask, L - upd, L)
-        L = L.at[:, c].set(col)
+        L = jnp.where(colmask, col[:, None], L)
         return L
 
     L = jax.lax.fori_loop(0, B, body, a)
@@ -62,17 +71,23 @@ def _chol_unblocked(a):
 
 def _tri_inv_lower(L):
     """Inverse of a lower-triangular (B, B) block by forward substitution,
-    one column of the identity at a time batched: solve L X = I."""
+    one row of the solution at a time: solve L X = I.  Mask-indexed for the
+    same Pallas-TPU reason as `_chol_unblocked`."""
     B = L.shape[0]
-    eye = jnp.eye(B, dtype=L.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
 
     def body(c, X):
-        # x_row_c of solution: X[c, :] = (I[c, :] - L[c, :c] @ X[:c, :]) / L[c, c]
-        lrow = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (B,), 0) < c, L[c, :], 0.0
-        )
-        acc = lrow @ X  # (B,)
-        X = X.at[c, :].set((eye[c, :] - acc) / L[c, c])
+        rowmask = rows == c
+        # X[c, :] = (I[c, :] - L[c, :c] @ X[:c, :]) / L[c, c]
+        lrow = jnp.sum(jnp.where(rowmask, L, 0.0), axis=0)
+        diag = jnp.sum(jnp.where(rowmask & (cols == c), L, 0.0))
+        lrow = jnp.where(idx < c, lrow, 0.0)
+        # keep the dot 2-D: Mosaic's dot attr encoding rejects rank-1 lhs
+        acc = (lrow[None, :] @ X)[0]  # (B,)
+        eye_row = (idx == c).astype(L.dtype)
+        X = jnp.where(rowmask, ((eye_row - acc) / diag)[None, :], X)
         return X
 
     return jax.lax.fori_loop(0, B, body, jnp.zeros_like(L))
@@ -125,8 +140,10 @@ def _chol_kernel(a_hbm, out_hbm, *, block: int, nb: int):
             preferred_element_type=jnp.float32,
         )
         new_panel = solved * below + panel[:] * (1.0 - below)
-        new_panel = jax.lax.dynamic_update_slice(new_panel, L11, (k * block, 0))
         panel[:] = new_panel
+        # dynamic-offset ref STORE (supported on TPU, unlike value-level
+        # dynamic_update_slice) places the factored diagonal block
+        panel[pl.ds(k * block, block), :] = L11
 
         # ---- write the panel back
         wb = pltpu.make_async_copy(
