@@ -111,7 +111,9 @@ def stage_nlml(n: int):
     # intermittently deadlocks over the tunneled TPU transport
     x = (rng.random((n, 1)) * 20).astype(np.float32)
     y = np.sin(x)
-    gp = CIGP(kernel=SquaredExponentialKernel())
+    # fused_nll=False: this stage measures the AUTODIFF-through-Cholesky
+    # baseline (the fused custom-VJP default is the *_fused stage)
+    gp = CIGP(kernel=SquaredExponentialKernel(), fused_nll=False)
     p0 = _se_params()
     opt = optax.adam(1e-2)
 
@@ -501,7 +503,8 @@ def main():
         ref = REF_STEPS_PER_S_N1024
     log(f"[ref] torch-CPU n=1024: {ref:.1f} steps/s")
 
-    headline = results["nlml1024"]
+    # headline = the production-default path (fused custom-VJP NLML)
+    headline = results.get("nlml1024_fused") or results["nlml1024"]
     print(
         json.dumps(
             {
