@@ -10,6 +10,10 @@ Vector models run on the seeded 3-fidelity toy sin; tensor models (GAR,
 HOGP) on generated multi-fidelity Poisson fields (the reference's sample
 npy files are absent from its snapshot — SURVEY.md §2.7).  Prints final
 r2/rmse/nll/nrmse.
+
+``--nonsubset`` draws each fidelity's inputs independently (non-nested
+designs) and trains AR/NAR/ResGP through the imputation path — the
+equivalent of `MFGP_ver2023May/mfgp_nonsubset_demo.py:1-131`.
 """
 
 from __future__ import annotations
@@ -18,18 +22,24 @@ import argparse
 import time
 
 
-def _toy_3fid(seed=1):
+def _toy_3fid(seed=1, nonsubset=False):
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    x_all = rng.random((500, 1)) * 20
-    pick = lambda n: x_all[np.sort(rng.permutation(500)[:n])]
-    xs = [pick(300), pick(300), pick(250)]
+    if nonsubset:
+        # independent per-fidelity draws: no fidelity's x-set nests in
+        # another (`mfgp_nonsubset_demo.py` protocol)
+        xs = [np.sort(rng.random((n, 1)) * 20, axis=0)
+              for n in (300, 200, 150)]
+    else:
+        x_all = rng.random((500, 1)) * 20
+        pick = lambda n: x_all[np.sort(rng.permutation(500)[:n])]
+        xs = [pick(300), pick(300), pick(250)]
     noise = lambda n: rng.random((n, 1)) * 0.1 - 0.05
     ys = [
-        np.sin(xs[0]) - 0.5 * np.sin(2 * xs[0]) + noise(300),
-        np.sin(xs[1]) - 0.3 * np.sin(2 * xs[1]) + noise(300),
-        np.sin(xs[2]) + noise(250),
+        np.sin(xs[0]) - 0.5 * np.sin(2 * xs[0]) + noise(len(xs[0])),
+        np.sin(xs[1]) - 0.3 * np.sin(2 * xs[1]) + noise(len(xs[1])),
+        np.sin(xs[2]) + noise(len(xs[2])),
     ]
     x_test = np.linspace(0, 20, 100).reshape(-1, 1)
     return xs, ys, x_test, np.sin(x_test)
@@ -46,6 +56,11 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=5e-2)
     parser.add_argument("--restarts", type=int, default=4)
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--nonsubset", action="store_true",
+        help="non-nested fidelity designs + imputation training "
+             "(AR/NAR/ResGP; mfgp_nonsubset_demo equivalent)",
+    )
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -163,7 +178,10 @@ def main(argv=None):
         from fidelityfusion_tpu.models.nar import NAR, train_NAR
         from fidelityfusion_tpu.models.resgp import ResGP, train_ResGP
 
-        xs, ys, x_test, y_test = _toy_3fid()
+        nonsub = bool(args.nonsubset)
+        if nonsub and name not in ("AR", "NAR", "ResGP"):
+            parser.error("--nonsubset supports AR/NAR/ResGP")
+        xs, ys, x_test, y_test = _toy_3fid(nonsubset=nonsub)
         dm = MultiFidelityDataManager(
             [
                 {"raw_fidelity_name": str(i), "fidelity_indicator": i,
@@ -173,15 +191,15 @@ def main(argv=None):
         )
         kernels = [SquaredExponentialKernel() for _ in range(3)]
         if name == "AR":
-            model = AR(3, kernels, input_dim=1)
+            model = AR(3, kernels, input_dim=1, if_nonsubset=nonsub)
             train_AR(model, dm, max_iter=args.iters, lr_init=args.lr,
                      n_restarts=args.restarts)
         elif name == "NAR":
-            model = NAR(3, kernels, input_dim=1)
+            model = NAR(3, kernels, input_dim=1, if_nonsubset=nonsub)
             train_NAR(model, dm, max_iter=args.iters, lr_init=args.lr,
                       n_restarts=args.restarts)
         elif name == "ResGP":
-            model = ResGP(3, kernels, input_dim=1)
+            model = ResGP(3, kernels, input_dim=1, if_nonsubset=nonsub)
             train_ResGP(model, dm, max_iter=args.iters, lr_init=args.lr,
                         n_restarts=args.restarts)
         elif name == "CAR":
