@@ -17,6 +17,7 @@ computation, keeping every jitted graph static.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -173,14 +174,15 @@ def train_AR(
                 y_low = jnp.asarray(y_low, jnp.float32)
                 mask0 = None
 
-            def loss0(p):
-                return gp.nll(p, x_low, y_low, mask=mask0)
-
             stage_params = model.params["gp"][0]
+            # gp.nll is a bound method of a frozen-dataclass spec: stable
+            # jit-cache identity, so BO-loop retrains at the same shape
+            # bucket reuse one compiled program (see train/fit.py)
             stage_params, hist = _run_stage(
-                loss0, stage_params, max_iter, lr_init, n_restarts,
+                gp.nll, stage_params, max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=x_low,
+                loss_args=(x_low, y_low, None, mask0),
             )
             model.params["gp"][0] = stage_params
         else:
@@ -198,14 +200,11 @@ def train_AR(
                 rho0 = model.params["rho"][i_fid - 1]
                 shift, scale = _residual_norm(yh_m - rho0 * yl_m)
                 model.stage_norm[i_fid] = (shift, scale)
-
-                def loss_i(p, gp=gp, sx=sx, yl_m=yl_m, yl_v=yl_v, yh_m=yh_m,
-                           yh_v=yh_v, shift=shift, scale=scale):
-                    rho = p["rho"]
-                    res_mean = (yh_m - rho * yl_m - shift) / scale
-                    res_var = jnp.abs(yh_v - rho * yl_v) / scale**2
-                    return gp.nll(p["gp"], sx, res_mean, y_var=res_var)
-
+                loss_i = _ResidualVarLoss(gp)
+                loss_args_i = (
+                    sx, yl_m, yl_v, yh_m, yh_v,
+                    jnp.float32(shift), jnp.float32(scale),
+                )
             else:
                 _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
                     i_fid - 1, i_fid, normal=True
@@ -226,11 +225,10 @@ def train_AR(
                     - rho0 * jnp.asarray(y_low, jnp.float32)
                 )
                 model.stage_norm[i_fid] = (shift, scale)
-
-                def loss_i(p, gp=gp, sx=sx, yl=yl, yh=yh, shift=shift,
-                           scale=scale, mask_i=mask_i):
-                    res_mean = (yh - p["rho"] * yl - shift) / scale
-                    return gp.nll(p["gp"], sx, res_mean, mask=mask_i)
+                loss_i = _ResidualLoss(gp)
+                loss_args_i = (
+                    sx, yl, yh, jnp.float32(shift), jnp.float32(scale), mask_i,
+                )
 
             stage_params = {
                 "gp": model.params["gp"][i_fid],
@@ -240,6 +238,7 @@ def train_AR(
                 loss_i, stage_params, max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=sx, gp_field="gp",
+                loss_args=loss_args_i,
             )
             model.params["gp"][i_fid] = stage_params["gp"]
             model.params["rho"][i_fid - 1] = stage_params["rho"]
@@ -280,15 +279,44 @@ def train_AR(
     return histories
 
 
+@dataclasses.dataclass(frozen=True)
+class _ResidualLoss:
+    """Subset-mode stage loss: NLML of the standardized residual
+    ``(y_hi - rho*y_lo - shift)/scale`` — a frozen-dataclass callable so
+    equal GP specs share one jit-compiled training program across calls
+    (train/fit.py cached path)."""
+
+    gp: CIGP
+
+    def __call__(self, p, sx, yl, yh, shift, scale, mask):
+        res_mean = (yh - p["rho"] * yl - shift) / scale
+        return self.gp.nll(p["gp"], sx, res_mean, mask=mask)
+
+
+@dataclasses.dataclass(frozen=True)
+class _ResidualVarLoss:
+    """Non-subset stage loss: imputed targets carry variances
+    (`MF_data.py:253-303` semantics), rho gets gradients through both."""
+
+    gp: CIGP
+
+    def __call__(self, p, sx, yl_m, yl_v, yh_m, yh_v, shift, scale):
+        rho = p["rho"]
+        res_mean = (yh_m - rho * yl_m - shift) / scale
+        res_var = jnp.abs(yh_v - rho * yl_v) / scale**2
+        return self.gp.nll(p["gp"], sx, res_mean, y_var=res_var)
+
+
 def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
-               kernel_spec=None, x=None, gp_field=None):
+               kernel_spec=None, x=None, gp_field=None, loss_args=None):
     """Run one stage's Adam scan; with restarts, vmap over a batch of
     initializations.  When ``kernel_spec``/``x`` are given, the batch is the
     deterministic length-scale ladder (`train/fit.py:gp_restart_batch`)
     applied to the GP subtree (``params[gp_field]`` or ``params`` itself);
-    otherwise random jitter."""
+    otherwise random jitter.  ``loss_args`` selects the cached-program
+    path (stable-identity ``loss_fn``; see `train/fit.py:fit`)."""
     if n_restarts <= 1:
-        result = fit(loss_fn, params, steps=steps, lr=lr)
+        result = fit(loss_fn, params, steps=steps, lr=lr, loss_args=loss_args)
         return result.params, result.losses
     if kernel_spec is not None and x is not None:
         gp_params = params[gp_field] if gp_field else params
@@ -300,7 +328,8 @@ def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
         batch = stack_params(inits)
     else:
         batch = perturb_params(key, params, n=n_restarts)
-    best, result = fit_restarts(loss_fn, batch, steps=steps, lr=lr)
+    best, result = fit_restarts(loss_fn, batch, steps=steps, lr=lr,
+                                loss_args=loss_args)
     return best, result.losses
 
 

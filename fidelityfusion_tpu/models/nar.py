@@ -108,13 +108,11 @@ def train_NAR(
             x_low = jnp.asarray(x_low, jnp.float32)
             y_low = jnp.asarray(y_low, jnp.float32)
 
-            def loss(p, gp=gp, x=x_low, y=y_low):
-                return gp.nll(p, x, y)
-
             new_p, hist = _run_stage(
-                loss, model.params["gp"][0], max_iter, lr_init, n_restarts,
+                gp.nll, model.params["gp"][0], max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=x_low,
+                loss_args=(x_low, y_low),
             )
             model.params["gp"][0] = new_p
         else:
@@ -150,13 +148,11 @@ def train_NAR(
                 ],
             )
 
-            def loss(p, gp=gp, cx=concat_x, ym=y_high_mean, yv=y_high_var):
-                return gp.nll(p, cx, ym, y_var=yv)
-
             new_p, hist = _run_stage(
-                loss, model.params["gp"][i_fid], max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
+                gp.nll, model.params["gp"][i_fid], max_iter, lr_init,
+                n_restarts, jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=concat_x,
+                loss_args=(concat_x, y_high_mean, y_high_var),
             )
             model.params["gp"][i_fid] = new_p
         histories.append(hist)

@@ -104,13 +104,11 @@ def train_ResGP(
             x_low = jnp.asarray(x_low, jnp.float32)
             y_low = jnp.asarray(y_low, jnp.float32)
 
-            def loss(p, gp=gp, x=x_low, y=y_low):
-                return gp.nll(p, x, y)
-
             new_p, hist = _run_stage(
-                loss, model.params["gp"][0], max_iter, lr_init, n_restarts,
+                gp.nll, model.params["gp"][0], max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=x_low,
+                loss_args=(x_low, y_low),
             )
             model.params["gp"][0] = new_p
         else:
@@ -127,9 +125,7 @@ def train_ResGP(
                     jnp.asarray(y_high_p[1] - y_low_p[1], jnp.float32)
                 ) / scale**2
 
-                def loss(p, gp=gp, sx=sx, rm=res_mean, rv=res_var):
-                    return gp.nll(p, sx, rm, y_var=rv)
-
+                loss_args_i = (sx, res_mean, res_var)
                 store_y = [np.asarray(res_mean), np.asarray(res_var)]
             else:
                 _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
@@ -141,9 +137,7 @@ def train_ResGP(
                 model.stage_norm[i_fid] = (shift, scale)
                 res_mean = (res_raw - shift) / scale
 
-                def loss(p, gp=gp, sx=sx, rm=res_mean):
-                    return gp.nll(p, sx, rm)
-
+                loss_args_i = (sx, res_mean, None)
                 store_y = [np.asarray(res_mean), None]
 
             data_manager.add_data(
@@ -153,9 +147,10 @@ def train_ResGP(
                 y=store_y,
             )
             new_p, hist = _run_stage(
-                loss, model.params["gp"][i_fid], max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
+                gp.nll, model.params["gp"][i_fid], max_iter, lr_init,
+                n_restarts, jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=sx,
+                loss_args=loss_args_i,
             )
             model.params["gp"][i_fid] = new_p
         histories.append(hist)

@@ -18,6 +18,7 @@ unit of multi-chip sharding (see `parallel/`).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -53,119 +54,178 @@ def _masked_updates(updates, trainable):
     )
 
 
+def _scan_train(loss_fn, p0, trainable, loss_args, steps, opt):
+    """One compiled training loop: `steps` Adam updates with NaN rollback.
+    ``loss_fn`` is called as ``loss_fn(p, *loss_args)``."""
+    opt_state0 = opt.init(p0)
+
+    def step(carry, _):
+        p, opt_state = carry
+        loss, grads = jax.value_and_grad(
+            lambda pp: loss_fn(pp, *loss_args)
+        )(p)
+        grads = _masked_updates(grads, trainable)
+        updates, new_opt_state = opt.update(grads, opt_state, p)
+        new_p = optax.apply_updates(p, updates)
+        # NaN rollback: keep previous params/opt-state on non-finite loss
+        # or non-finite updates (log_debugger.get_status semantics).
+        finite = jnp.isfinite(loss) & jnp.all(
+            jnp.asarray(
+                [
+                    jnp.all(jnp.isfinite(u))
+                    for u in jax.tree_util.tree_leaves(updates)
+                ]
+            )
+        )
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+
+        return (sel(new_p, p), sel(new_opt_state, opt_state)), loss
+
+    (p_final, _), losses = jax.lax.scan(step, (p0, opt_state0), None, length=steps)
+    return p_final, losses
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "steps", "lr"))
+def _fit_cached(loss_fn, p0, trainable, loss_args, steps, lr):
+    return _scan_train(loss_fn, p0, trainable, loss_args, steps, optax.adam(lr))
+
+
 def fit(
-    loss_fn: Callable[[dict], jnp.ndarray],
+    loss_fn: Callable[..., jnp.ndarray],
     params: dict,
     steps: int = 100,
     lr: float = 1e-2,
     trainable: Optional[dict] = None,
     optimizer: Optional[optax.GradientTransformation] = None,
+    loss_args: Optional[tuple] = None,
 ) -> FitResult:
     """Minimize ``loss_fn`` over ``params`` with Adam for ``steps`` steps.
 
     The entire loop runs inside one jit-compiled `lax.scan`.  ``trainable``
     is an optional pytree of bools masking out frozen leaves (e.g. MC
     z-samples of the CAR fidelity kernel).
+
+    ``loss_args``: when given, ``loss_fn`` is treated as a STABLE-IDENTITY
+    static callable invoked as ``loss_fn(p, *loss_args)`` and the compiled
+    program is cached across calls (jit static arg).  Pass a bound method
+    of a frozen-dataclass spec (e.g. ``gp.nll``) or a frozen-dataclass
+    callable — equal specs hit the same cache entry, so retraining inside
+    BO loops / sweeps compiles ONCE per shape bucket instead of once per
+    call.  Without ``loss_args`` (or with a custom ``optimizer``), the
+    legacy fresh-jit closure path is used.
     """
-    opt = optimizer if optimizer is not None else optax.adam(lr)
     if trainable is None and isinstance(params, dict):
         trainable = _frozen_mask(params)
 
-    @jax.jit
-    def run(p0):
-        opt_state0 = opt.init(p0)
+    if loss_args is not None and optimizer is None:
+        p_final, losses = _fit_cached(
+            loss_fn, params, trainable, tuple(loss_args), int(steps), float(lr)
+        )
+        return FitResult(p_final, losses)
 
-        def step(carry, _):
-            p, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            grads = _masked_updates(grads, trainable)
-            updates, new_opt_state = opt.update(grads, opt_state, p)
-            new_p = optax.apply_updates(p, updates)
-            # NaN rollback: keep previous params/opt-state on non-finite loss
-            # or non-finite updates (log_debugger.get_status semantics).
-            finite = jnp.isfinite(loss) & jnp.all(
-                jnp.asarray(
-                    [
-                        jnp.all(jnp.isfinite(u))
-                        for u in jax.tree_util.tree_leaves(updates)
-                    ]
-                )
-            )
-
-            def sel(new, old):
-                return jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(finite, a, b), new, old
-                )
-
-            return (sel(new_p, p), sel(new_opt_state, opt_state)), loss
-
-        (p_final, _), losses = jax.lax.scan(step, (p0, opt_state0), None, length=steps)
-        return p_final, losses
-
+    opt = optimizer if optimizer is not None else optax.adam(lr)
+    run = jax.jit(
+        lambda p0: _scan_train(
+            lambda p, *a: loss_fn(p), p0, trainable, (), steps, opt
+        )
+    )
     p_final, losses = run(params)
     return FitResult(p_final, losses)
 
 
+def _restart_single(loss_fn, p0, trainable, loss_args, steps, opt):
+    """One restart's training loop with last-good fallback on divergence."""
+    opt_state0 = opt.init(p0)
+
+    def step(carry, _):
+        p, opt_state, good_p, good_opt = carry
+        loss, grads = jax.value_and_grad(
+            lambda pp: loss_fn(pp, *loss_args)
+        )(p)
+        grads = _masked_updates(grads, trainable)
+        updates, new_opt_state = opt.update(grads, opt_state, p)
+        new_p = optax.apply_updates(p, updates)
+        finite = jnp.isfinite(loss) & jnp.all(
+            jnp.asarray(
+                [
+                    jnp.all(jnp.isfinite(u))
+                    for u in jax.tree_util.tree_leaves(updates)
+                ]
+            )
+        )
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+
+        next_p = sel(new_p, good_p)
+        next_opt = sel(new_opt_state, good_opt)
+        return (
+            next_p,
+            next_opt,
+            sel(p, good_p),
+            sel(opt_state, good_opt),
+        ), loss
+
+    (p_final, _, good_p, _), losses = jax.lax.scan(
+        step, (p0, opt_state0, p0, opt_state0), None, length=steps
+    )
+    last_finite = jnp.isfinite(losses[-1])
+    p_final = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(last_finite, a, b), p_final, good_p
+    )
+    return p_final, losses
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "steps", "lr"))
+def _fit_restarts_cached(loss_fn, batch, trainable, loss_args, steps, lr):
+    opt = optax.adam(lr)
+    return jax.vmap(
+        lambda p0: _restart_single(loss_fn, p0, trainable, loss_args, steps, opt)
+    )(batch)
+
+
 def fit_restarts(
-    loss_fn: Callable[[dict], jnp.ndarray],
+    loss_fn: Callable[..., jnp.ndarray],
     params_batch: dict,
     steps: int = 100,
     lr: float = 1e-2,
     trainable: Optional[dict] = None,
+    loss_args: Optional[tuple] = None,
 ) -> Tuple[dict, FitResult]:
     """vmap the training loop over a leading restart axis of ``params_batch``
     and select the restart with the lowest final loss.
 
     Returns ``(best_params, FitResult(all_params, all_losses))`` where the
     batch members keep their leading axis for inspection/sharding.
+
+    ``loss_args`` enables the cached-program path (see `fit`): with a
+    stable-identity ``loss_fn``, repeated restart sweeps at the same shape
+    bucket reuse one compiled program.
     """
-    opt = optax.adam(lr)
     if trainable is None and isinstance(params_batch, dict):
         trainable = _frozen_mask(params_batch)
 
-    def single(p0):
-        opt_state0 = opt.init(p0)
-
-        def step(carry, _):
-            p, opt_state, good_p, good_opt = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            grads = _masked_updates(grads, trainable)
-            updates, new_opt_state = opt.update(grads, opt_state, p)
-            new_p = optax.apply_updates(p, updates)
-            finite = jnp.isfinite(loss) & jnp.all(
-                jnp.asarray(
-                    [
-                        jnp.all(jnp.isfinite(u))
-                        for u in jax.tree_util.tree_leaves(updates)
-                    ]
+    if loss_args is not None:
+        params_all, losses_all = _fit_restarts_cached(
+            loss_fn, params_batch, trainable, tuple(loss_args),
+            int(steps), float(lr),
+        )
+    else:
+        opt = optax.adam(lr)
+        run = jax.jit(
+            jax.vmap(
+                lambda p0: _restart_single(
+                    lambda p, *a: loss_fn(p), p0, trainable, (), steps, opt
                 )
             )
-
-            def sel(new, old):
-                return jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(finite, a, b), new, old
-                )
-
-            next_p = sel(new_p, good_p)
-            next_opt = sel(new_opt_state, good_opt)
-            return (
-                next_p,
-                next_opt,
-                sel(p, good_p),
-                sel(opt_state, good_opt),
-            ), loss
-
-        (p_final, _, good_p, _), losses = jax.lax.scan(
-            step, (p0, opt_state0, p0, opt_state0), None, length=steps
         )
-        last_finite = jnp.isfinite(losses[-1])
-        p_final = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(last_finite, a, b), p_final, good_p
-        )
-        return p_final, losses
-
-    run = jax.jit(jax.vmap(single))
-    params_all, losses_all = run(params_batch)
+        params_all, losses_all = run(params_batch)
     final_losses = losses_all[:, -1]
     # non-finite restarts never win
     score = jnp.where(jnp.isfinite(final_losses), final_losses, jnp.inf)
