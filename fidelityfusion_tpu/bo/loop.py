@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fidelityfusion_tpu.bo.mf_acq import DiscreteMFAcquisition, optimize_acq_mf
+from fidelityfusion_tpu.bo.optimize import optimize_acqf
 from fidelityfusion_tpu.models.ar import AR, train_AR
 from fidelityfusion_tpu.models.resgp import ResGP, train_ResGP
 from fidelityfusion_tpu.models.nar import NAR, train_NAR
@@ -100,40 +101,72 @@ def mf_bo_discrete(
         # compile once per bucket instead of once per BO iteration
         train_fn(model, dm, max_iter=train_iters, lr_init=train_lr, **extra)
 
-        def mean_fn(x, s, model=model, dm=dm):
-            m, _ = model.forward(dm, x, to_fidelity=s)
-            return m.reshape(-1)
-
-        def var_fn(x, s, model=model, dm=dm):
-            _, c = model.forward(dm, x, to_fidelity=s)
-            c = jnp.asarray(c)
-            return (jnp.diagonal(c) if c.ndim == 2 else c).reshape(-1)
-
         f_best = float(max(np.max(y) for y in ys))
-        acq = DiscreteMFAcquisition(
-            mean_fn, var_fn, fidelity_num, objective.x_dim, f_best=f_best
-        )
-        score = {
-            "UCB": acq.UCB_MF,
-            "EI": acq.EI_MF,
-            "PI": acq.PI_MF,
-            "KG": acq.KG_MF,
-        }[method]
+        beta = 0.2 * objective.x_dim
+        if hasattr(model, "export_posterior"):
+            # cached acquisition path: hashable posterior + score, data via
+            # padded state pytrees -> one compiled ascent per (spec, method)
+            # reused across BO iterations (see bo/optimize.py acq_args)
+            from fidelityfusion_tpu.bo.mf_acq import MFAcqScore
 
-        new_x, _, _ = optimize_acq_mf(
-            score,
-            fidelity_num,
-            bounds,
-            jax.random.fold_in(key, it),
-            n_iterations=acq_iterations,
-            learning_rate=acq_lr,
-        )
-        new_x = np.asarray(new_x).reshape(1, -1)
-        if gamma is not None:
-            new_s = acq.acq_selection_fidelity(gamma, jnp.asarray(new_x, jnp.float32))
+            posts = [
+                model.export_posterior(dm, to_fidelity=s, pad_multiple=16)
+                for s in range(fidelity_num)
+            ]
+            f_best_j = jnp.float32(f_best)
+            best_xs, best_vs = [], []
+            for s, (post, state) in enumerate(posts):
+                score_s = MFAcqScore(post, method=method, beta=beta)
+                x_s, v_s = optimize_acqf(
+                    score_s,
+                    jnp.asarray(bounds, jnp.float32),
+                    jax.random.fold_in(jax.random.fold_in(key, it), s),
+                    raw_samples=16,
+                    steps=acq_iterations,
+                    lr=acq_lr,
+                    acq_args=(state, f_best_j),
+                )
+                best_xs.append(x_s)
+                best_vs.append(float(v_s))
+            new_x = np.asarray(best_xs[int(np.argmax(best_vs))]).reshape(1, -1)
+            g = gamma if gamma is not None else [1.0 / (it + 1)] * fidelity_num
+            # MF-GP-UCB ladder over the functional posteriors
+            new_s = fidelity_num - 1
+            for s, (post, state) in enumerate(posts):
+                _, v = post(state, jnp.asarray(new_x, jnp.float32))
+                if beta * float(jnp.max(v)) > g[s]:
+                    new_s = s
+                    break
         else:
-            # default MF-GP-UCB thresholds scaled by iteration
-            g = [1.0 / (it + 1)] * fidelity_num
+            def mean_fn(x, s, model=model, dm=dm):
+                m, _ = model.forward(dm, x, to_fidelity=s)
+                return m.reshape(-1)
+
+            def var_fn(x, s, model=model, dm=dm):
+                _, c = model.forward(dm, x, to_fidelity=s)
+                c = jnp.asarray(c)
+                return (jnp.diagonal(c) if c.ndim == 2 else c).reshape(-1)
+
+            acq = DiscreteMFAcquisition(
+                mean_fn, var_fn, fidelity_num, objective.x_dim, f_best=f_best
+            )
+            score = {
+                "UCB": acq.UCB_MF,
+                "EI": acq.EI_MF,
+                "PI": acq.PI_MF,
+                "KG": acq.KG_MF,
+            }[method]
+
+            new_x, _, _ = optimize_acq_mf(
+                score,
+                fidelity_num,
+                bounds,
+                jax.random.fold_in(key, it),
+                n_iterations=acq_iterations,
+                learning_rate=acq_lr,
+            )
+            new_x = np.asarray(new_x).reshape(1, -1)
+            g = gamma if gamma is not None else [1.0 / (it + 1)] * fidelity_num
             new_s = acq.acq_selection_fidelity(g, jnp.asarray(new_x, jnp.float32))
 
         new_y = objective.get_data(new_x, new_s + 1)

@@ -26,14 +26,54 @@ survives — a bug not replicated (the v1 implementation
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Callable, List, Sequence, Tuple
+from typing import Any, Callable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from fidelityfusion_tpu.bo import acq as sf_acq
 from fidelityfusion_tpu.bo.optimize import optimize_acqf
+
+
+@dataclasses.dataclass(frozen=True)
+class MFAcqScore:
+    """Hashable acquisition score over a functional posterior.
+
+    ``posterior`` is a hashable callable ``(state, x) -> (mean, var)``
+    (e.g. `models/ar.py:ARPosterior`); this object is a valid static jit
+    argument, so `optimize_acqf(score, ..., acq_args=(state, f_best))`
+    caches ONE compiled ascent per (posterior spec, method) and reuses it
+    every BO iteration — data and incumbent flow through ``acq_args``.
+
+    Methods follow `DiscreteAcquisitionFunction` (`DMF_acq.py:49-166`):
+    UCB uses beta * variance, PI the log-density score, KG fantasy
+    sampling with a fixed key (the reference's default).
+    """
+
+    posterior: Any
+    method: str = "UCB"
+    beta: float = 0.2
+    num_fantasies: int = 10
+
+    def __call__(self, x, state, f_best):
+        mean, var = self.posterior(state, x)
+        mean = mean.reshape(-1)
+        var = var.reshape(-1)
+        if self.method == "UCB":
+            return mean + self.beta * var
+        if self.method == "EI":
+            return sf_acq.ei(mean, var, f_best)
+        if self.method == "PI":
+            std = jnp.maximum(jnp.sqrt(jnp.maximum(var, 1e-18)), 1e-9)
+            z = (mean - f_best - 0.01) / std
+            return -0.5 * z**2 - 0.5 * math.log(2.0 * math.pi)
+        if self.method == "KG":
+            return sf_acq.kg(
+                mean, var, f_best, jax.random.PRNGKey(0), self.num_fantasies
+            )
+        raise ValueError(f"unknown method {self.method!r}")
 
 
 class DiscreteMFAcquisition:

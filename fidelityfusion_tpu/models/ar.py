@@ -77,6 +77,71 @@ class AR:
         # local optimum the raw reference parametrization falls into.
         self.stage_norm = [(0.0, 1.0)] * fidelity_num
 
+    # ------------------------------------------------- functional predict
+    def export_posterior(
+        self,
+        data_manager: MultiFidelityDataManager,
+        to_fidelity: Optional[int] = None,
+        diag: bool = True,
+        pad_multiple: Optional[int] = None,
+    ):
+        """(ARPosterior, state): the prediction cascade as a HASHABLE
+        callable plus a pure-array state pytree.
+
+        Jitted programs built around the returned callable key the jit
+        cache on the (value-hashable) GP specs, so acquisition
+        optimization inside a BO loop compiles once per shape bucket
+        instead of once per iteration; ``pad_multiple`` pads each stage's
+        training rows (masked, exactly-equivalent posterior) so the
+        buckets persist as the dataset grows."""
+        level = (
+            to_fidelity if to_fidelity is not None else self.fidelity_num - 1
+        )
+        stages = []
+        for i in range(level + 1):
+            norm = data_manager.normalizelayer.get(i)
+            x_mean = (
+                jnp.asarray(norm.x_mean, jnp.float32)
+                if norm is not None else jnp.float32(0.0)
+            )
+            x_std = (
+                jnp.asarray(norm.x_std, jnp.float32) + 1e-10
+                if norm is not None else jnp.float32(1.0)
+            )
+            if i == 0:
+                x_tr, y_tr = data_manager.get_data(0, normal=True)
+                y_use = y_tr
+                rho = jnp.float32(1.0)
+                shift, scale = jnp.float32(0.0), jnp.float32(1.0)
+            else:
+                x_tr, y_tr = data_manager.get_data_by_name(f"res-{i}")
+                y_use = y_tr[0] if isinstance(y_tr, list) else y_tr
+                rho = jnp.asarray(self.params["rho"][i - 1], jnp.float32)
+                s_, c_ = self.stage_norm[i]
+                shift, scale = jnp.float32(s_), jnp.float32(c_)
+            if pad_multiple:
+                x_p, y_p, mask = pad_with_mask(x_tr, y_use, pad_multiple)
+            else:
+                x_p = jnp.asarray(x_tr, jnp.float32)
+                y_p = jnp.asarray(y_use, jnp.float32)
+                mask = None
+            stages.append(
+                {
+                    "x": x_p, "y": y_p, "mask": mask,
+                    "gp": self.params["gp"][i],
+                    "rho": rho, "shift": shift, "scale": scale,
+                    "x_mean": x_mean, "x_std": x_std,
+                }
+            )
+        norm = data_manager.normalizelayer[level]
+        state = {
+            "stages": stages,
+            "y_norm": (
+                jnp.float32(float(norm.y_mean)), jnp.float32(float(norm.y_std))
+            ),
+        }
+        return ARPosterior(tuple(self.gp_list), level, diag), state
+
     # ---------------------------------------------------------------- predict
     def forward(
         self,
@@ -200,10 +265,19 @@ def train_AR(
                 rho0 = model.params["rho"][i_fid - 1]
                 shift, scale = _residual_norm(yh_m - rho0 * yl_m)
                 model.stage_norm[i_fid] = (shift, scale)
+                if pad_multiple:
+                    sx_t, yl_m_t, mask_ns = pad_with_mask(sx, yl_m, pad_multiple)
+                    _, yl_v_t, _ = pad_with_mask(sx, yl_v, pad_multiple)
+                    _, yh_m_t, _ = pad_with_mask(sx, yh_m, pad_multiple)
+                    _, yh_v_t, _ = pad_with_mask(sx, yh_v, pad_multiple)
+                else:
+                    sx_t, yl_m_t, yl_v_t, yh_m_t, yh_v_t, mask_ns = (
+                        sx, yl_m, yl_v, yh_m, yh_v, None
+                    )
                 loss_i = _ResidualVarLoss(gp)
                 loss_args_i = (
-                    sx, yl_m, yl_v, yh_m, yh_v,
-                    jnp.float32(shift), jnp.float32(scale),
+                    sx_t, yl_m_t, yl_v_t, yh_m_t, yh_v_t,
+                    jnp.float32(shift), jnp.float32(scale), mask_ns,
                 )
             else:
                 _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
@@ -280,6 +354,39 @@ def train_AR(
 
 
 @dataclasses.dataclass(frozen=True)
+class ARPosterior:
+    """The AR prediction cascade as a hashable functional: all data and
+    parameters arrive via the ``state`` pytree (see `AR.export_posterior`),
+    so jitted consumers (acquisition optimizers, imputation) compile once
+    per shape bucket and reuse the program as state values change.
+
+    Semantics identical to `AR.forward` (raw x in, raw y out; consistent
+    rho-recombination; per-stage x-normalization).  ``diag`` selects the
+    O(n^2 m) diagonal-variance fast path for acquisition scoring."""
+
+    gps: tuple  # per-stage CIGP specs (frozen dataclasses -> hashable)
+    to_fidelity: int
+    diag: bool = True
+
+    def __call__(self, state, x_raw):
+        x_raw = jnp.asarray(x_raw, jnp.float32)
+        mean = var = None
+        for i in range(self.to_fidelity + 1):
+            st = state["stages"][i]
+            xt = (x_raw - st["x_mean"]) / st["x_std"]
+            predict = self.gps[i].predict_diag if self.diag else self.gps[i].predict
+            m, v = predict(st["gp"], st["x"], st["y"], xt, mask=st["mask"])
+            if i == 0:
+                mean, var = m, v
+            else:
+                rho, shift, scale = st["rho"], st["shift"], st["scale"]
+                mean = rho * mean + (shift + scale * m)
+                var = rho**2 * var + scale**2 * v
+        y_mean, y_std = state["y_norm"]
+        return mean * y_std + y_mean, var * y_std**2
+
+
+@dataclasses.dataclass(frozen=True)
 class _ResidualLoss:
     """Subset-mode stage loss: NLML of the standardized residual
     ``(y_hi - rho*y_lo - shift)/scale`` — a frozen-dataclass callable so
@@ -300,11 +407,11 @@ class _ResidualVarLoss:
 
     gp: CIGP
 
-    def __call__(self, p, sx, yl_m, yl_v, yh_m, yh_v, shift, scale):
+    def __call__(self, p, sx, yl_m, yl_v, yh_m, yh_v, shift, scale, mask=None):
         rho = p["rho"]
         res_mean = (yh_m - rho * yl_m - shift) / scale
         res_var = jnp.abs(yh_v - rho * yl_v) / scale**2
-        return self.gp.nll(p["gp"], sx, res_mean, y_var=res_var)
+        return self.gp.nll(p["gp"], sx, res_mean, y_var=res_var, mask=mask)
 
 
 def _run_stage(loss_fn, params, steps, lr, n_restarts, key,

@@ -104,3 +104,54 @@ def test_ar_training_deterministic(toy_sin_data):
         )
         preds.append(np.asarray(mean))
     np.testing.assert_array_equal(preds[0], preds[1])
+
+
+def test_ar_functional_posterior_matches_forward(toy_sin_data):
+    """export_posterior/ARPosterior must reproduce forward's cascade
+    (means exact, diagonal variances vs full-cov diagonal), padded or not,
+    and the score path must be jit-cacheable as a static argument."""
+    import jax
+
+    dm = build_manager(toy_sin_data)
+    model = AR(3, [SquaredExponentialKernel() for _ in range(3)], input_dim=1)
+    train_AR(model, dm, max_iter=60, lr_init=5e-2, n_restarts=1)
+    x_test = jnp.asarray(toy_sin_data["test"][0], jnp.float32)
+
+    mean_ref, cov_ref = model.forward(dm, x_test)
+    var_ref = np.diagonal(np.asarray(cov_ref))
+
+    for pad in (None, 16):
+        post, state = model.export_posterior(dm, pad_multiple=pad)
+        mean, var = post(state, x_test)
+        np.testing.assert_allclose(
+            np.asarray(mean).ravel(), np.asarray(mean_ref).ravel(),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(var).ravel(), var_ref, rtol=5e-3, atol=5e-3
+        )
+
+    # hashability contract: equal specs -> equal static jit keys
+    post2, _ = model.export_posterior(dm, pad_multiple=16)
+    assert hash(post2) == hash(post) or post2 == post
+
+
+def test_mf_acq_score_cached_ascent(toy_sin_data):
+    """One compiled ascent reused across changing state values."""
+    import jax
+    from fidelityfusion_tpu.bo.mf_acq import MFAcqScore
+    from fidelityfusion_tpu.bo.optimize import optimize_acqf
+
+    dm = build_manager(toy_sin_data)
+    model = AR(3, [SquaredExponentialKernel() for _ in range(3)], input_dim=1)
+    train_AR(model, dm, max_iter=40, lr_init=5e-2, n_restarts=1)
+    post, state = model.export_posterior(dm, to_fidelity=1, pad_multiple=16)
+    score = MFAcqScore(post, method="UCB", beta=0.4)
+    bounds = jnp.asarray([[0.0, 20.0]], jnp.float32)
+    x1, v1 = optimize_acqf(score, bounds, jax.random.PRNGKey(0),
+                           raw_samples=8, steps=10, acq_args=(state, jnp.float32(0.5)))
+    assert 0.0 <= float(x1[0]) <= 20.0 and np.isfinite(float(v1))
+    # same program, different state values (e.g. next BO iteration)
+    x2, v2 = optimize_acqf(score, bounds, jax.random.PRNGKey(1),
+                           raw_samples=8, steps=10, acq_args=(state, jnp.float32(0.9)))
+    assert np.isfinite(float(v2))
