@@ -94,53 +94,7 @@ class AR:
         instead of once per iteration; ``pad_multiple`` pads each stage's
         training rows (masked, exactly-equivalent posterior) so the
         buckets persist as the dataset grows."""
-        level = (
-            to_fidelity if to_fidelity is not None else self.fidelity_num - 1
-        )
-        stages = []
-        for i in range(level + 1):
-            norm = data_manager.normalizelayer.get(i)
-            x_mean = (
-                jnp.asarray(norm.x_mean, jnp.float32)
-                if norm is not None else jnp.float32(0.0)
-            )
-            x_std = (
-                jnp.asarray(norm.x_std, jnp.float32) + 1e-10
-                if norm is not None else jnp.float32(1.0)
-            )
-            if i == 0:
-                x_tr, y_tr = data_manager.get_data(0, normal=True)
-                y_use = y_tr
-                rho = jnp.float32(1.0)
-                shift, scale = jnp.float32(0.0), jnp.float32(1.0)
-            else:
-                x_tr, y_tr = data_manager.get_data_by_name(f"res-{i}")
-                y_use = y_tr[0] if isinstance(y_tr, list) else y_tr
-                rho = jnp.asarray(self.params["rho"][i - 1], jnp.float32)
-                s_, c_ = self.stage_norm[i]
-                shift, scale = jnp.float32(s_), jnp.float32(c_)
-            if pad_multiple:
-                x_p, y_p, mask = pad_with_mask(x_tr, y_use, pad_multiple)
-            else:
-                x_p = jnp.asarray(x_tr, jnp.float32)
-                y_p = jnp.asarray(y_use, jnp.float32)
-                mask = None
-            stages.append(
-                {
-                    "x": x_p, "y": y_p, "mask": mask,
-                    "gp": self.params["gp"][i],
-                    "rho": rho, "shift": shift, "scale": scale,
-                    "x_mean": x_mean, "x_std": x_std,
-                }
-            )
-        norm = data_manager.normalizelayer[level]
-        state = {
-            "stages": stages,
-            "y_norm": (
-                jnp.float32(float(norm.y_mean)), jnp.float32(float(norm.y_std))
-            ),
-        }
-        return ARPosterior(tuple(self.gp_list), level, diag), state
+        return _export_cascade(self, data_manager, to_fidelity, diag, pad_multiple)
 
     # ---------------------------------------------------------------- predict
     def forward(
@@ -351,6 +305,62 @@ def train_AR(
         if debugger is not None:
             debugger.record_stage(i_fid, hist)
     return histories
+
+
+def _export_cascade(model, data_manager, to_fidelity=None, diag=True,
+                    pad_multiple=None):
+    """Shared export for rho-residual cascade models (AR; ResGP with
+    rho fixed at 1 — models without a "rho" param get rho=1 stages)."""
+    level = (
+        to_fidelity if to_fidelity is not None else model.fidelity_num - 1
+    )
+    stages = []
+    for i in range(level + 1):
+        norm = data_manager.normalizelayer.get(i)
+        x_mean = (
+            jnp.asarray(norm.x_mean, jnp.float32)
+            if norm is not None else jnp.float32(0.0)
+        )
+        x_std = (
+            jnp.asarray(norm.x_std, jnp.float32) + 1e-10
+            if norm is not None else jnp.float32(1.0)
+        )
+        if i == 0:
+            x_tr, y_tr = data_manager.get_data(0, normal=True)
+            y_use = y_tr
+            rho = jnp.float32(1.0)
+            shift, scale = jnp.float32(0.0), jnp.float32(1.0)
+        else:
+            x_tr, y_tr = data_manager.get_data_by_name(f"res-{i}")
+            y_use = y_tr[0] if isinstance(y_tr, list) else y_tr
+            rho = (
+                jnp.asarray(model.params["rho"][i - 1], jnp.float32)
+                if "rho" in model.params else jnp.float32(1.0)
+            )
+            s_, c_ = model.stage_norm[i]
+            shift, scale = jnp.float32(s_), jnp.float32(c_)
+        if pad_multiple:
+            x_p, y_p, mask = pad_with_mask(x_tr, y_use, pad_multiple)
+        else:
+            x_p = jnp.asarray(x_tr, jnp.float32)
+            y_p = jnp.asarray(y_use, jnp.float32)
+            mask = None
+        stages.append(
+            {
+                "x": x_p, "y": y_p, "mask": mask,
+                "gp": model.params["gp"][i],
+                "rho": rho, "shift": shift, "scale": scale,
+                "x_mean": x_mean, "x_std": x_std,
+            }
+        )
+    norm = data_manager.normalizelayer[level]
+    state = {
+        "stages": stages,
+        "y_norm": (
+            jnp.float32(float(norm.y_mean)), jnp.float32(float(norm.y_std))
+        ),
+    }
+    return ARPosterior(tuple(model.gp_list), level, diag), state
 
 
 @dataclasses.dataclass(frozen=True)

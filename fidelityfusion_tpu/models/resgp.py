@@ -36,6 +36,15 @@ class ResGP:
         # per-stage residual standardization; see models/ar.py
         self.stage_norm = [(0.0, 1.0)] * fidelity_num
 
+    def export_posterior(self, data_manager, to_fidelity=None, diag=True,
+                         pad_multiple=None):
+        """Functional predict path (rho fixed at 1); see
+        `models/ar.py:AR.export_posterior`."""
+        from fidelityfusion_tpu.models.ar import _export_cascade
+
+        return _export_cascade(self, data_manager, to_fidelity, diag,
+                               pad_multiple)
+
     def forward(
         self,
         data_manager: MultiFidelityDataManager,

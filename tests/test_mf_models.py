@@ -38,6 +38,29 @@ def test_resgp_nonsubset(toy_sin_data):
     assert rmse < 0.3, f"ResGP nonsubset rmse {rmse}"
 
 
+def test_resgp_functional_posterior_matches_forward(toy_sin_data):
+    """ResGP.export_posterior (shared rho-residual cascade export with
+    rho fixed at 1) must reproduce forward's cascade, padded or not."""
+    dm = build_manager(toy_sin_data)
+    model = ResGP(3, [SquaredExponentialKernel() for _ in range(3)], input_dim=1)
+    train_ResGP(model, dm, max_iter=60, lr_init=5e-2)
+    x_test = jnp.asarray(toy_sin_data["test"][0], jnp.float32)
+
+    mean_ref, cov_ref = model.forward(dm, x_test)
+    var_ref = np.diagonal(np.asarray(cov_ref))
+
+    for pad in (None, 16):
+        post, state = model.export_posterior(dm, pad_multiple=pad)
+        mean, var = post(state, x_test)
+        np.testing.assert_allclose(
+            np.asarray(mean).ravel(), np.asarray(mean_ref).ravel(),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(var).ravel(), var_ref, rtol=5e-3, atol=5e-3
+        )
+
+
 def test_nar_subset(toy_sin_data):
     dm = build_manager(toy_sin_data)
     model = NAR(3, [SquaredExponentialKernel() for _ in range(3)], input_dim=1)
