@@ -118,20 +118,164 @@ def run_sweep(
     return rows
 
 
+def _car_fixture(rng, n_low: int, n_high: int, subset: bool):
+    """The CAR papers' noisy-sin fixture (`Experiments/CAR_Subset/exp_car.py:28-42`,
+    `CAR_Cost/exp_car.py:36-50`): x ~ U[0,20], y_low = sin(x) - U*0.2,
+    y_high = sin(x) - U*0.1; subset mode draws hi-fid x as a subset of the
+    lo-fid rows, cost mode draws them independently."""
+    x_all = (rng.random((500, 1)) * 20).astype(np.float32)
+    x_low = np.sort(x_all[rng.permutation(500)[:n_low]], axis=0)
+    if subset:
+        x_high = np.sort(x_low[rng.permutation(n_low)[:n_high]], axis=0)
+    else:
+        x_high = np.sort(x_all[rng.permutation(500)[:n_high]], axis=0)
+    y_low = np.sin(x_low) - rng.random((n_low, 1)).astype(np.float32) * 0.2
+    y_high = (
+        np.sin(x_high) - rng.random((n_high, 1)).astype(np.float32) * 0.1
+    )
+    x_test = np.linspace(0, 20, 100, dtype=np.float32).reshape(-1, 1)
+    return x_low, y_low, x_high, y_high, x_test, np.sin(x_test)
+
+
+def _car_cell(method, x_low, y_low, x_high, y_high, x_test, y_test,
+              subset, max_iter, lr, n_restarts):
+    dm = MultiFidelityDataManager(
+        [
+            {"raw_fidelity_name": "0", "fidelity_indicator": 0,
+             "X": x_low, "Y": y_low},
+            {"raw_fidelity_name": "1", "fidelity_indicator": 1,
+             "X": x_high, "Y": y_high},
+        ]
+    )
+    cls, train_fn = MODEL_REGISTRY[method]
+    if method == "CAR":
+        model = cls(2, [ARDKernel() for _ in range(2)], input_dim=1)
+    else:
+        model = cls(2, [SquaredExponentialKernel() for _ in range(2)],
+                    if_nonsubset=not subset, input_dim=1)
+    t0 = time.time()
+    train_fn(model, dm, max_iter=max_iter, lr_init=lr, n_restarts=n_restarts)
+    mean, cov = model.forward(dm, jnp.asarray(x_test, jnp.float32))
+    elapsed = time.time() - t0
+    cov = np.asarray(cov)
+    var = np.diagonal(cov) if cov.ndim == 2 else cov
+    row = calculate_metrix(y_test, np.asarray(mean), var)
+    row["time"] = elapsed
+    return row
+
+
+def run_car_sweep(
+    methods: Sequence[str] = ("CAR",),
+    seeds: Sequence[int] = (0, 1),
+    train_sizes: Sequence[int] = (32, 64, 96, 128),
+    dec_rate: float = 0.75,
+    outdir: str = "exp_results",
+    dataset_name: str = "sample_data",
+    max_iter: int = 100,
+    lr: float = 1e-2,
+    n_restarts: int = 4,
+) -> List[Dict]:
+    """The CAR-paper train-size protocol (`Experiments/CAR_Subset/exp_car.py`):
+    per (method, seed) sweep the lo-fid train size; the hi-fid set is a
+    ``dec_rate`` fraction subset.  Writes
+    ``<outdir>/<dataset>/car_<dec_rate>_seed_<s>.csv``."""
+    rows = []
+    for method in methods:
+        for seed in seeds:
+            rng = np.random.default_rng(seed)
+            records = []
+            for n in train_sizes:
+                n_high = int(dec_rate * n)
+                fixture = _car_fixture(rng, n, n_high, subset=True)
+                row = _car_cell(method, *fixture, subset=True,
+                                max_iter=max_iter, lr=lr,
+                                n_restarts=n_restarts)
+                row.update({"train_sample_num": n, "method": method,
+                            "seed": seed})
+                records.append(row)
+                rows.append(row)
+            d = os.path.join(outdir, dataset_name)
+            os.makedirs(d, exist_ok=True)
+            prefix = method.lower()
+            path = os.path.join(d, f"{prefix}_{dec_rate}_seed_{seed}.csv")
+            with open(path, "w", newline="") as f:
+                w = csv.DictWriter(
+                    f,
+                    fieldnames=["train_sample_num", "rmse", "nrmse", "r2",
+                                "nll", "time"],
+                    extrasaction="ignore",
+                )
+                w.writeheader()
+                w.writerows(records)
+    return rows
+
+
+def run_car_cost_sweep(
+    methods: Sequence[str] = ("CAR",),
+    start_seeds: Sequence[int] = (1,),
+    n_cells: int = 5,
+    outdir: str = "exp_results",
+    dataset_name: str = "sample_data",
+    max_iter: int = 100,
+    lr: float = 1e-2,
+    n_restarts: int = 4,
+) -> List[Dict]:
+    """The CAR-paper cost protocol (`Experiments/CAR_Cost/exp_car.py`):
+    random (n_low, n_high) cells, non-nested designs, cost = n_high;
+    writes ``<outdir>/<dataset>/car_seed_<start>.csv`` with a cost column."""
+    rows = []
+    for method in methods:
+        for start in start_seeds:
+            records = []
+            for seed in range(start, start + n_cells):
+                rng = np.random.default_rng(seed)
+                n_low = int(rng.integers(64, 128))
+                n_high = n_low - int(rng.integers(0, 64))
+                fixture = _car_fixture(rng, n_low, n_high, subset=False)
+                row = _car_cell(method, *fixture, subset=False,
+                                max_iter=max_iter, lr=lr,
+                                n_restarts=n_restarts)
+                row.update({"cost": n_high, "method": method, "seed": seed})
+                records.append(row)
+                rows.append(row)
+            d = os.path.join(outdir, dataset_name)
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(
+                d, f"{method.lower()}_seed_{start}.csv"
+            )
+            with open(path, "w", newline="") as f:
+                w = csv.DictWriter(
+                    f,
+                    fieldnames=["cost", "rmse", "r2", "nll", "nrmse", "time"],
+                    extrasaction="ignore",
+                )
+                w.writeheader()
+                w.writerows(records)
+    return rows
+
+
 def main(argv=None):
     """CLI: reproduce the reference sweep protocols.
 
     python -m fidelityfusion_tpu.experiments.sweep \
         --methods AR ResGP --datasets tl112 forrester14 --seeds 0 1 \
         --n-high 4 8 16 32 --outdir exp_results
+
+    ``--protocol car`` runs the CAR train-size sweep; ``--protocol
+    car-cost`` the CAR cost sweep (both on the papers' noisy-sin fixture).
     """
     import argparse
 
     parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--protocol", default="grid",
+                        choices=["grid", "car", "car-cost"])
     parser.add_argument("--methods", nargs="+", default=["AR", "ResGP", "NAR"])
     parser.add_argument("--datasets", nargs="+", default=["tl112"])
     parser.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2, 3, 4])
     parser.add_argument("--n-high", nargs="+", type=int, default=[4, 8, 16, 32])
+    parser.add_argument("--train-sizes", nargs="+", type=int,
+                        default=[32, 64, 96, 128])
+    parser.add_argument("--dec-rate", type=float, default=0.75)
     parser.add_argument("--n-low", type=int, default=100)
     parser.add_argument("--n-test", type=int, default=100)
     parser.add_argument("--nonsubset", action="store_true")
@@ -143,17 +287,33 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    rows = run_sweep(
-        methods=args.methods,
-        datasets=args.datasets,
-        seeds=args.seeds,
-        n_high_grid=args.n_high,
-        outdir=args.outdir,
-        n_low=args.n_low,
-        n_test=args.n_test,
-        subset=not args.nonsubset,
-        max_iter=args.max_iter,
-    )
+    if args.protocol == "car":
+        rows = run_car_sweep(
+            methods=args.methods if args.methods != ["AR", "ResGP", "NAR"]
+            else ("CAR",),
+            seeds=args.seeds, train_sizes=args.train_sizes,
+            dec_rate=args.dec_rate, outdir=args.outdir,
+            max_iter=args.max_iter,
+        )
+    elif args.protocol == "car-cost":
+        rows = run_car_cost_sweep(
+            methods=args.methods if args.methods != ["AR", "ResGP", "NAR"]
+            else ("CAR",),
+            start_seeds=args.seeds, outdir=args.outdir,
+            max_iter=args.max_iter,
+        )
+    else:
+        rows = run_sweep(
+            methods=args.methods,
+            datasets=args.datasets,
+            seeds=args.seeds,
+            n_high_grid=args.n_high,
+            outdir=args.outdir,
+            n_low=args.n_low,
+            n_test=args.n_test,
+            subset=not args.nonsubset,
+            max_iter=args.max_iter,
+        )
     print(f"wrote {len(rows)} rows under {args.outdir}/")
     return rows
 

@@ -1,0 +1,200 @@
+"""Blocked Cholesky + triangular inverse designed for *batched* NLML.
+
+Motivation (BASELINE.md): XLA's batched Cholesky nearly serializes over
+the batch on a single TPU core (R=32, n=1024 costs ~26x one
+factorization), which caps vmapped hyperparameter restarts — the
+framework's replacement for the reference's single fixed-init Adam
+(`FidelityFusion_Models/AR_autoRegression.py:104`).  Two Pallas attempts
+(`ops/pallas_batched.py`, `ops/pallas_cholesky.py`) lost to XLA because
+their per-panel VPU chains dominate.
+
+This module takes a third route, pure JAX, shaped so that `vmap` turns
+every O(n^3) term into *batched GEMMs* (MXU) and leaves only an O(n)
+critical path of cheap vectorized leaf steps:
+
+  * right-looking blocked factorization: per panel, a fused leaf loop
+    factors the diagonal block AND accumulates its inverse (one
+    elementary-matrix inverse per column — same rank-1 shape as the
+    Cholesky update itself), so the panel solve is a GEMM against
+    `inv(L_kk)` instead of a (serializing) batched triangular solve;
+  * Schur updates are GEMMs;
+  * the full `inv(L)` is assembled from the per-block inverses by a
+    divide-and-conquer block rule `inv([[A,0],[B,C]]) =
+    [[iA,0],[-iC B iA, iC]]` — two large GEMMs per level;
+  * NLML forward and its closed-form VJP then consist only of GEMMs
+    against `W = inv(L)` (`gamma = W y`, `Kinv = W^T W`), eliminating the
+    batched triangular-solve / cho_solve calls entirely.
+
+Use `mvn_nll_blocked` wherever a *batch* of moderate-n likelihoods is
+trained (vmapped restarts); for a single large factorization XLA's
+`cholesky` remains faster (its panel pipeline beats our O(n) leaf chain
+when there is no batch to amortize it over).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+def _leaf_chol_inv(D: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unblocked Cholesky of a [b, b] SPD block, fused with its inverse.
+
+    One `fori_loop` over columns; per step a rank-1 trailing update (the
+    factorization) and a rank-1 row update (left-multiplying the running
+    inverse by the elementary factor's inverse).  Written for a single
+    matrix so `vmap` batches every step over the restart axis.
+    """
+    b = D.shape[-1]
+    idx = jnp.arange(b)
+
+    def step(j, carry):
+        a, w = carry
+        d = jnp.sqrt(a[j, j])
+        col = a[:, j] / d
+        below = idx > j
+        colm = jnp.where(below, col, jnp.zeros_like(col))
+        newcol = jnp.where(idx == j, d, jnp.where(below, col, a[:, j]))
+        a = a.at[:, j].set(newcol)
+        a = a - colm[:, None] * colm[None, :]
+        # W <- inv(E_j) @ W : row j scaled, rows below get -L_rj/d * row_j
+        wj = w[j, :] / d
+        w = w.at[j, :].set(wj)
+        w = w - colm[:, None] * wj[None, :]
+        return a, w
+
+    a, w = lax.fori_loop(0, b, step, (D, jnp.eye(b, dtype=D.dtype)))
+    return jnp.tril(a), w
+
+
+def _leaf_chol_inv_xla(D: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Leaf via XLA's cholesky + triangular solve (measurement variant)."""
+    Ld = jnp.linalg.cholesky(D)
+    Wd = jax.scipy.linalg.solve_triangular(
+        Ld, jnp.eye(D.shape[-1], dtype=D.dtype), lower=True
+    )
+    return Ld, Wd
+
+
+def _tri_inv_assemble(
+    L: jnp.ndarray, diag_invs: List[jnp.ndarray], block: int
+) -> jnp.ndarray:
+    """inv(L) from its per-block diagonal inverses, divide-and-conquer."""
+    nb = len(diag_invs)
+    if nb == 1:
+        return diag_invs[0]
+    hb = nb // 2
+    h = hb * block
+    W1 = _tri_inv_assemble(L[:h, :h], diag_invs[:hb], block)
+    W2 = _tri_inv_assemble(L[h:, h:], diag_invs[hb:], block)
+    W21 = -(W2 @ (L[h:, :h] @ W1))
+    z = jnp.zeros((h, L.shape[-1] - h), dtype=L.dtype)
+    return jnp.block([[W1, z], [W21, W2]])
+
+
+@partial(jax.jit, static_argnames=("block", "leaf"))
+def blocked_chol_inv(
+    A: jnp.ndarray, block: int = 64, leaf: str = "fused"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lower Cholesky factor L of SPD ``A`` and W = inv(L).
+
+    ``A`` is [n, n] with n a multiple of ``block`` (callers pad with
+    identity rows otherwise — see `mvn_nll_blocked`).  vmap-compatible:
+    all slicing is static, all O(n^3) terms are matmuls.
+    """
+    n = A.shape[-1]
+    if n % block:
+        raise ValueError(f"n={n} not a multiple of block={block}")
+    leaf_fn = _leaf_chol_inv if leaf == "fused" else _leaf_chol_inv_xla
+    L = jnp.zeros_like(A)
+    A_work = A
+    diag_invs: List[jnp.ndarray] = []
+    for k in range(n // block):
+        s = k * block
+        e = s + block
+        Ld, Wd = leaf_fn(A_work[s:e, s:e])
+        diag_invs.append(Wd)
+        L = L.at[s:e, s:e].set(Ld)
+        if e < n:
+            L21 = A_work[e:, s:e] @ Wd.T
+            L = L.at[e:, s:e].set(L21)
+            A_work = A_work.at[e:, e:].add(-(L21 @ L21.T))
+    W = _tri_inv_assemble(L, diag_invs, block)
+    return L, W
+
+
+def blocked_cholesky(A: jnp.ndarray, block: int = 64) -> jnp.ndarray:
+    """Lower Cholesky factor only (testing / drop-in comparisons)."""
+    return blocked_chol_inv(A, block=block)[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _nll_blocked_core(Sigma, y, block, leaf):
+    L, W = blocked_chol_inv(Sigma, block=block, leaf=leaf)
+    gamma = W @ y
+    d = y.shape[1]
+    n = y.shape[0]
+    return (
+        0.5 * jnp.sum(gamma**2)
+        + d * jnp.sum(jnp.log(jnp.diagonal(L)))
+        + 0.5 * n * d * LOG2PI
+    )
+
+
+def _nll_blocked_fwd(Sigma, y, block, leaf):
+    L, W = blocked_chol_inv(Sigma, block=block, leaf=leaf)
+    gamma = W @ y
+    d = y.shape[1]
+    n = y.shape[0]
+    val = (
+        0.5 * jnp.sum(gamma**2)
+        + d * jnp.sum(jnp.log(jnp.diagonal(L)))
+        + 0.5 * n * d * LOG2PI
+    )
+    return val, (W, gamma)
+
+
+def _nll_blocked_bwd(block, leaf, res, g):
+    W, gamma = res
+    d = gamma.shape[1]
+    alpha = W.T @ gamma
+    Kinv = W.T @ W
+    dSigma = g * 0.5 * (d * Kinv - alpha @ alpha.T)
+    return dSigma, g * alpha
+
+
+_nll_blocked_core.defvjp(_nll_blocked_fwd, _nll_blocked_bwd)
+
+
+def mvn_nll_blocked(
+    Sigma: jnp.ndarray, y: jnp.ndarray, block: int = 64, leaf: str = "fused"
+) -> jnp.ndarray:
+    """NLML of y ~ N(0, Sigma), GEMM-only under vmap (see module docstring).
+
+    Same value/gradient contract as `linalg.mvn_nll_fused`; pads Sigma
+    with identity rows (zero targets) to a block multiple, which changes
+    neither the likelihood of the valid rows nor their gradients.
+    """
+    if y.ndim == 1:
+        y = y[:, None]
+    n = Sigma.shape[-1]
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        extra = n_pad - n
+        Sigma = jnp.pad(Sigma, ((0, extra), (0, extra)))
+        Sigma = Sigma + jnp.diag(
+            jnp.pad(jnp.zeros((n,), Sigma.dtype), (0, extra),
+                    constant_values=1.0)
+        )
+        y = jnp.pad(y, ((0, extra), (0, 0)))
+        correction = 0.5 * extra * y.shape[1] * LOG2PI
+    else:
+        correction = 0.0
+    return _nll_blocked_core(Sigma, y, block, leaf) - correction

@@ -83,6 +83,40 @@ def test_run_sweep_writes_csv(tmp_path):
     assert text.startswith("n_high,rmse,nrmse,r2,nll,time")
 
 
+def test_run_car_sweep_writes_csv(tmp_path):
+    """CAR train-size protocol (`Experiments/CAR_Subset/exp_car.py`):
+    one CSV per (method, seed) with a train_sample_num column."""
+    from fidelityfusion_tpu.experiments.sweep import run_car_sweep
+
+    rows = run_car_sweep(
+        methods=("AR",), seeds=(0,), train_sizes=(16, 32),
+        outdir=str(tmp_path), max_iter=40, n_restarts=2,
+    )
+    assert len(rows) == 2
+    path = tmp_path / "sample_data" / "ar_0.75_seed_0.csv"
+    assert path.exists()
+    assert path.read_text().startswith(
+        "train_sample_num,rmse,nrmse,r2,nll,time"
+    )
+    assert all(np.isfinite(r["rmse"]) for r in rows)
+
+
+def test_run_car_cost_sweep_writes_csv(tmp_path):
+    """CAR cost protocol (`Experiments/CAR_Cost/exp_car.py`): random
+    non-nested cells with a cost column."""
+    from fidelityfusion_tpu.experiments.sweep import run_car_cost_sweep
+
+    rows = run_car_cost_sweep(
+        methods=("ResGP",), start_seeds=(1,), n_cells=2,
+        outdir=str(tmp_path), max_iter=40, n_restarts=2,
+    )
+    assert len(rows) == 2
+    path = tmp_path / "sample_data" / "resgp_seed_1.csv"
+    assert path.exists()
+    assert path.read_text().startswith("cost,rmse,r2,nll,nrmse,time")
+    assert all(r["cost"] >= 1 for r in rows)
+
+
 def test_sharded_seed_sweep():
     """The seed axis trains data-parallel over the virtual mesh and the
     metric rows come back finite and reasonable."""

@@ -169,3 +169,57 @@ def test_fused_nll_matches_value_and_grad(problem, rng):
     np.testing.assert_allclose(
         np.asarray(g_fused[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_blocked_chol_inv_matches_xla(rng):
+    """blocked_chol_inv (the batched-restart factorization path,
+    ops/blocked.py) must reproduce XLA's Cholesky and a true inv(L),
+    for divisible and non-divisible n, both leaf variants."""
+    from fidelityfusion_tpu.ops import blocked as B
+
+    for n, block in [(256, 64), (192, 64), (128, 128)]:
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        S = A @ A.T + n * np.eye(n, dtype=np.float32)
+        for leaf in ("fused", "xla"):
+            Lb, W = B.blocked_chol_inv(jnp.asarray(S), block=block, leaf=leaf)
+            L_ref = np.linalg.cholesky(S)
+            np.testing.assert_allclose(
+                np.asarray(Lb), L_ref,
+                rtol=1e-4, atol=1e-4 * np.max(np.abs(L_ref)),
+            )
+            np.testing.assert_allclose(
+                np.asarray(W @ Lb), np.eye(n), atol=5e-5
+            )
+
+
+def test_blocked_nll_matches_fused(rng):
+    """mvn_nll_blocked value+grad vs mvn_nll_fused, including the
+    identity-row padding path (n not a block multiple) and under vmap."""
+    import jax
+    from fidelityfusion_tpu.ops import blocked as B
+
+    for n in (256, 300):
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        S = jnp.asarray(A @ A.T + n * np.eye(n, dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+        v_b = float(B.mvn_nll_blocked(S, y, block=64))
+        v_f = float(L.mvn_nll_fused(S, y))
+        np.testing.assert_allclose(v_b, v_f, rtol=1e-5)
+        g_b = jax.grad(B.mvn_nll_blocked, argnums=(0, 1))(S, y)
+        g_f = jax.grad(L.mvn_nll_fused, argnums=(0, 1))(S, y)
+        np.testing.assert_allclose(
+            np.asarray(g_b[0]), np.asarray(g_f[0]), rtol=2e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_b[1]), np.asarray(g_f[1]), rtol=1e-4, atol=1e-6
+        )
+
+    R, n = 3, 128
+    As = rng.standard_normal((R, n, n)).astype(np.float32)
+    Ss = jnp.asarray(
+        np.einsum("rij,rkj->rik", As, As) + n * np.eye(n, dtype=np.float32)
+    )
+    ys = jnp.asarray(rng.standard_normal((R, n, 1)), jnp.float32)
+    vb = jax.vmap(lambda s, yy: B.mvn_nll_blocked(s, yy, block=64))(Ss, ys)
+    vf = jax.vmap(L.mvn_nll_fused)(Ss, ys)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(vf), rtol=1e-5)
