@@ -8,6 +8,7 @@ learned by the kernel, with no rho parameter.  Prediction feeds the
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -16,7 +17,7 @@ import numpy as np
 
 from fidelityfusion_tpu.models.cigp import CIGP
 from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
-from fidelityfusion_tpu.models.ar import _run_stage, stage_x
+from fidelityfusion_tpu.models.ar import _run_stage, pad_with_mask, stage_x
 from fidelityfusion_tpu.ops.kernels import Kernel
 
 
@@ -85,6 +86,86 @@ class NAR:
         return mean, cov
 
     __call__ = forward
+
+    def export_posterior(self, data_manager, to_fidelity=None, diag=True,
+                         pad_multiple=None):
+        """Functional prediction cascade (same contract as
+        `AR.export_posterior`): a hashable `NARPosterior` plus a state
+        pytree holding all stage data/params, so jitted consumers compile
+        once per shape bucket.  Call `train_NAR` first (stage data lives
+        under ``concat-{i}`` in the data manager)."""
+        level = (
+            to_fidelity if to_fidelity is not None else self.fidelity_num - 1
+        )
+        stages = []
+        for i in range(level + 1):
+            norm = data_manager.normalizelayer.get(i)
+            x_mean = (
+                jnp.asarray(norm.x_mean, jnp.float32)
+                if norm is not None else jnp.float32(0.0)
+            )
+            x_std = (
+                jnp.asarray(norm.x_std, jnp.float32) + 1e-10
+                if norm is not None else jnp.float32(1.0)
+            )
+            if i == 0:
+                x_tr, y_tr = data_manager.get_data(0, normal=True)
+                y_use = y_tr
+            else:
+                x_tr, y_tr = data_manager.get_data_by_name(f"concat-{i}")
+                y_use = y_tr[0] if isinstance(y_tr, list) else y_tr
+            if pad_multiple:
+                x_p, y_p, mask = pad_with_mask(x_tr, y_use, pad_multiple)
+            else:
+                x_p = jnp.asarray(x_tr, jnp.float32)
+                y_p = jnp.asarray(y_use, jnp.float32)
+                mask = None
+            stages.append(
+                {
+                    "x": x_p, "y": y_p, "mask": mask,
+                    "gp": self.params["gp"][i],
+                    "x_mean": x_mean, "x_std": x_std,
+                }
+            )
+        norm = data_manager.normalizelayer[level]
+        state = {
+            "stages": stages,
+            "y_norm": (
+                jnp.float32(float(norm.y_mean)), jnp.float32(float(norm.y_std))
+            ),
+        }
+        return NARPosterior(tuple(self.gp_list), level, diag), state
+
+
+@dataclasses.dataclass(frozen=True)
+class NARPosterior:
+    """`NAR.forward` as a hashable functional over a state pytree: stage
+    i >= 1 evaluates its GP at ``[normalize_i(x), mean_{i-1}]`` — the
+    nonlinear coupling — and only the final stage's variance is reported
+    (the reference cascade replaces, not accumulates, covariance,
+    `NAR.py:55-61`)."""
+
+    gps: tuple
+    to_fidelity: int
+    diag: bool = True
+
+    def __call__(self, state, x_raw):
+        x_raw = jnp.asarray(x_raw, jnp.float32)
+        mean = var = None
+        for i in range(self.to_fidelity + 1):
+            st = state["stages"][i]
+            xt = (x_raw - st["x_mean"]) / st["x_std"]
+            if i > 0:
+                xt = jnp.concatenate(
+                    [xt, mean.reshape(xt.shape[0], -1)], axis=-1
+                )
+            predict = (
+                self.gps[i].predict_diag if self.diag else self.gps[i].predict
+            )
+            mean, var = predict(st["gp"], st["x"], st["y"], xt,
+                                mask=st["mask"])
+        y_mean, y_std = state["y_norm"]
+        return mean * y_std + y_mean, var * y_std**2
 
 
 def train_NAR(

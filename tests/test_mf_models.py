@@ -69,6 +69,29 @@ def test_nar_subset(toy_sin_data):
     assert rmse < 0.1, f"NAR subset rmse {rmse}"
 
 
+def test_nar_functional_posterior_matches_forward(toy_sin_data):
+    """NAR.export_posterior/NARPosterior must reproduce forward's
+    nonlinear cascade (mean exact; final-stage diagonal variance)."""
+    dm = build_manager(toy_sin_data)
+    model = NAR(3, [SquaredExponentialKernel() for _ in range(3)], input_dim=1)
+    train_NAR(model, dm, max_iter=60, lr_init=5e-2)
+    x_test = jnp.asarray(toy_sin_data["test"][0], jnp.float32)
+
+    mean_ref, cov_ref = model.forward(dm, x_test)
+    var_ref = np.diagonal(np.asarray(cov_ref))
+
+    for pad in (None, 16):
+        post, state = model.export_posterior(dm, pad_multiple=pad)
+        mean, var = post(state, x_test)
+        np.testing.assert_allclose(
+            np.asarray(mean).ravel(), np.asarray(mean_ref).ravel(),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(var).ravel(), var_ref, rtol=5e-3, atol=5e-3
+        )
+
+
 def test_nar_nonsubset(toy_sin_data):
     dm = build_manager(toy_sin_data)
     model = NAR(
