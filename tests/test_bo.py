@@ -143,6 +143,22 @@ def test_mf_bo_discrete_loop_runs():
     assert len(record["cost"]) == 3
 
 
+def test_mf_bo_discrete_loop_resgp_nar_cached_path():
+    """The loop's cached acquisition path dispatches on export_posterior,
+    which ResGP and NAR now provide — both surrogates must drive the
+    loop end-to-end with monotone incumbents."""
+    f = Forrester(2)
+    for name in ("ResGP", "NAR"):
+        record = mf_bo_discrete(
+            f, method="UCB", model_name=name, bo_iterations=2,
+            init_index={1: 8, 2: 4}, seed=0, train_iters=30,
+            acq_iterations=10,
+        )
+        inc = record["incumbents"]
+        assert len(inc) == 2
+        assert all(b >= a - 1e-9 for a, b in zip(inc, inc[1:]))
+
+
 def test_forrester_multi_fidelity_init():
     f4 = Forrester(4)
     xs, ys = f4.initiate_data({1: 16, 2: 8, 3: 6, 4: 4}, seed=0)
