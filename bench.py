@@ -37,7 +37,9 @@ RECORDED = {
     "nlml4096": 86.2,         # steps/s (live 2026-08-18)
     "nlml1024_fused": 2341.0,  # steps/s (live 2026-08-17)
     "nlml4096_fused": 86.8,    # steps/s (live 2026-08-18)
-    "restarts": 2121.0,       # aggregate steps/s, R=32 n=1024 (live 2026-08-18)
+    "restarts": 2993.0,       # aggregate steps/s, R=32 n=1024, GEMM-only
+                              # blocked NLML (live 2026-08-18; fused path
+                              # measured 2125 the same day)
     "chol4096": 10.1,         # TFLOP/s (live 2026-08-17, XLA)
     "gram4096": 0.5,          # ms (estimate from matmul roofline)
     "pallas_chol4096": float("nan"),
@@ -184,7 +186,9 @@ def stage_restarts():
     rng = np.random.default_rng(0)
     x = (rng.random((n, 1)) * 20).astype(np.float32)
     y = np.sin(x)
-    gp = CIGP(kernel=SquaredExponentialKernel())
+    # the production restart path (models/ar.py:_blocked_variant) swaps in
+    # the GEMM-only batched NLML at this scale — measure what ships
+    gp = CIGP(kernel=SquaredExponentialKernel(), blocked_nll=True)
     p0 = _se_params()
     batch = jax.tree_util.tree_map(
         lambda a: np.stack([a + 0.01 * i for i in range(R)]), p0

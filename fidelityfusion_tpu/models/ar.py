@@ -424,6 +424,42 @@ class _ResidualVarLoss:
         return self.gp.nll(p["gp"], sx, res_mean, y_var=res_var, mask=mask)
 
 
+def _blocked_variant(loss_fn, n_rows: int):
+    """For vmapped restart sweeps on large stages, swap the loss's CIGP
+    spec to the GEMM-only batched NLML (`ops/blocked.py`): XLA's batched
+    Cholesky/triangular-solve serialize over the restart axis on a single
+    TPU core, and the solve-free path measures ~1.4x faster restart steps
+    at n=1024, R=32 (BASELINE.md).  Un-batched or small stages keep the
+    fused path (blocked is slower there).  Works on CIGP bound ``nll``
+    methods and on frozen-dataclass losses with a ``gp: CIGP`` field;
+    equal inputs map to equal outputs, preserving the compiled-program
+    cache (`train/fit.py`)."""
+    if n_rows < 320:
+        return loss_fn
+    self_obj = getattr(loss_fn, "__self__", None)
+    if isinstance(self_obj, CIGP) and loss_fn.__name__ == "nll":
+        # a frozen wrapper, not a bound method: bound methods of distinct
+        # (even equal) instances compare unequal, which would defeat the
+        # jit static-arg cache across retrains
+        return _CigpNLL(dataclasses.replace(self_obj, blocked_nll=True))
+    gp = getattr(loss_fn, "gp", None)
+    if isinstance(gp, CIGP) and dataclasses.is_dataclass(loss_fn):
+        return dataclasses.replace(
+            loss_fn, gp=dataclasses.replace(gp, blocked_nll=True)
+        )
+    return loss_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class _CigpNLL:
+    """`CIGP.nll` as a hashable, equality-stable callable."""
+
+    gp: CIGP
+
+    def __call__(self, p, x, y, y_var=None, mask=None):
+        return self.gp.nll(p, x, y, y_var=y_var, mask=mask)
+
+
 def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
                kernel_spec=None, x=None, gp_field=None, loss_args=None):
     """Run one stage's Adam scan; with restarts, vmap over a batch of
@@ -435,6 +471,8 @@ def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
     if n_restarts <= 1:
         result = fit(loss_fn, params, steps=steps, lr=lr, loss_args=loss_args)
         return result.params, result.losses
+    if x is not None:
+        loss_fn = _blocked_variant(loss_fn, x.shape[0])
     if kernel_spec is not None and x is not None:
         gp_params = params[gp_field] if gp_field else params
         gp_inits = gp_restart_batch(kernel_spec, gp_params, x, n_restarts, key)

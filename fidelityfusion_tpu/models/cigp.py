@@ -34,6 +34,11 @@ class CIGP:
     jitter: float = JITTER
     relative_jitter: bool = False  # JITTER * mean(K) trick (gp_computation_pack.py:125)
     fused_nll: bool = True  # hand-written NLML VJP (~25% faster on v5e); mask path falls back
+    # GEMM-only NLML (ops/blocked.py): 4x faster than fused_nll for
+    # vmapped restart batches on v5e (XLA's batched cholesky/trsm
+    # serialize); the restart trainer turns this on per stage
+    # (models/ar.py:_run_stage) — slower un-batched, so off by default
+    blocked_nll: bool = False
 
     def init_params(self, input_dim: int, log_beta: float = 1.0):
         return {
@@ -71,6 +76,11 @@ class CIGP:
         again; here nll is the loss directly.
         """
         Sigma = self._sigma(params, x, y_var, mask)
+        if self.blocked_nll:
+            from fidelityfusion_tpu.ops.blocked import mvn_nll_blocked
+
+            y2 = y if y.ndim == 2 else y[:, None]
+            return mvn_nll_blocked(Sigma, y2, mask=mask)
         if self.fused_nll and mask is None:
             y2 = y if y.ndim == 2 else y[:, None]
             return linalg.mvn_nll_fused(Sigma, y2)

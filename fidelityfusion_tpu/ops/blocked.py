@@ -173,18 +173,44 @@ def _nll_blocked_bwd(block, leaf, res, g):
 _nll_blocked_core.defvjp(_nll_blocked_fwd, _nll_blocked_bwd)
 
 
+def auto_block(n: int) -> int:
+    """Block-size policy from live v5e measurements (BASELINE.md): inside
+    the real restart training loop at R=32 n=1024 the step costs 10.7 ms
+    with block=128, 11.5 ms with 256, 12.5 ms with 512 (vs 15.1 ms for the
+    Cholesky+solve path), so 128 is the default for large stages; below
+    ~320 rows a single 64/128 panel keeps identity-padding waste small."""
+    if n >= 320:
+        return 128
+    return 64
+
+
 def mvn_nll_blocked(
-    Sigma: jnp.ndarray, y: jnp.ndarray, block: int = 64, leaf: str = "fused"
+    Sigma: jnp.ndarray,
+    y: jnp.ndarray,
+    block: int = 0,
+    leaf: str = "xla",
+    mask=None,
 ) -> jnp.ndarray:
     """NLML of y ~ N(0, Sigma), GEMM-only under vmap (see module docstring).
 
     Same value/gradient contract as `linalg.mvn_nll_fused`; pads Sigma
     with identity rows (zero targets) to a block multiple, which changes
     neither the likelihood of the valid rows nor their gradients.
+    ``block=0`` selects `auto_block`.  With ``mask``, Sigma must already
+    have identity rows at masked-out entries (`linalg.assemble_sigma`);
+    targets are zeroed here and the 2*pi constant uses the live row count
+    — exactly `linalg.mvn_nll`'s masked value.
     """
     if y.ndim == 1:
         y = y[:, None]
     n = Sigma.shape[-1]
+    if not block:
+        block = auto_block(n)
+    mask_correction = 0.0
+    if mask is not None:
+        y = y * mask[:, None].astype(y.dtype)
+        n_eff = jnp.sum(mask).astype(y.dtype)
+        mask_correction = 0.5 * (n - n_eff) * y.shape[1] * LOG2PI
     n_pad = -(-n // block) * block
     if n_pad != n:
         extra = n_pad - n
@@ -197,4 +223,4 @@ def mvn_nll_blocked(
         correction = 0.5 * extra * y.shape[1] * LOG2PI
     else:
         correction = 0.0
-    return _nll_blocked_core(Sigma, y, block, leaf) - correction
+    return _nll_blocked_core(Sigma, y, block, leaf) - correction - mask_correction
