@@ -198,7 +198,7 @@ def train_AR(
             # jit-cache identity, so BO-loop retrains at the same shape
             # bucket reuse one compiled program (see train/fit.py)
             stage_params, hist = _run_stage(
-                gp.nll, stage_params, max_iter, lr_init, n_restarts,
+                _CigpNLL(gp), stage_params, max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=x_low,
                 loss_args=(x_low, y_low, None, mask0),

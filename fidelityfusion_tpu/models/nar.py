@@ -17,7 +17,7 @@ import numpy as np
 
 from fidelityfusion_tpu.models.cigp import CIGP
 from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
-from fidelityfusion_tpu.models.ar import _run_stage, pad_with_mask, stage_x
+from fidelityfusion_tpu.models.ar import _CigpNLL, _run_stage, pad_with_mask, stage_x
 from fidelityfusion_tpu.ops.kernels import Kernel
 
 
@@ -190,7 +190,7 @@ def train_NAR(
             y_low = jnp.asarray(y_low, jnp.float32)
 
             new_p, hist = _run_stage(
-                gp.nll, model.params["gp"][0], max_iter, lr_init, n_restarts,
+                _CigpNLL(gp), model.params["gp"][0], max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=x_low,
                 loss_args=(x_low, y_low),
@@ -230,7 +230,7 @@ def train_NAR(
             )
 
             new_p, hist = _run_stage(
-                gp.nll, model.params["gp"][i_fid], max_iter, lr_init,
+                _CigpNLL(gp), model.params["gp"][i_fid], max_iter, lr_init,
                 n_restarts, jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=concat_x,
                 loss_args=(concat_x, y_high_mean, y_high_var),

@@ -16,7 +16,7 @@ import numpy as np
 
 from fidelityfusion_tpu.models.cigp import CIGP
 from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
-from fidelityfusion_tpu.models.ar import _run_stage, _residual_norm, stage_x
+from fidelityfusion_tpu.models.ar import _CigpNLL, _run_stage, _residual_norm, stage_x
 from fidelityfusion_tpu.ops.kernels import Kernel
 
 
@@ -114,7 +114,7 @@ def train_ResGP(
             y_low = jnp.asarray(y_low, jnp.float32)
 
             new_p, hist = _run_stage(
-                gp.nll, model.params["gp"][0], max_iter, lr_init, n_restarts,
+                _CigpNLL(gp), model.params["gp"][0], max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=x_low,
                 loss_args=(x_low, y_low),
@@ -156,7 +156,7 @@ def train_ResGP(
                 y=store_y,
             )
             new_p, hist = _run_stage(
-                gp.nll, model.params["gp"][i_fid], max_iter, lr_init,
+                _CigpNLL(gp), model.params["gp"][i_fid], max_iter, lr_init,
                 n_restarts, jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=sx,
                 loss_args=loss_args_i,
