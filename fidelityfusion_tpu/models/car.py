@@ -200,6 +200,30 @@ class ContinuousAutoRegression:
     __call__ = forward
 
 
+@dataclasses.dataclass(frozen=True)
+class _Car0Loss:
+    """Stage-0 NLML as an equality-stable callable (compiled-program
+    reuse across retrains; see models/ar.py:_CigpNLL)."""
+
+    gp: GPBasic
+
+    def __call__(self, p, x, y):
+        return self.gp.nll(p, x, y)
+
+
+@dataclasses.dataclass(frozen=True)
+class _CarResLoss:
+    """Residual-stage NLML: res = y_hi - exp(b)*y_lo with the global b
+    bound into the MC fidelity kernel's parameters."""
+
+    gp: GPBasic
+
+    def __call__(self, p, sx, yl, yh, shift, scale):
+        res = (yh - jnp.exp(p["b"]) * yl - shift) / scale
+        gp_p = ContinuousAutoRegression._bind_b(p["gp"], p["b"])
+        return self.gp.nll(gp_p, sx, res)
+
+
 def train_CAR(
     model: ContinuousAutoRegression,
     data_manager: MultiFidelityDataManager,
@@ -221,13 +245,11 @@ def train_CAR(
             x_low = jnp.asarray(x_low, jnp.float32)
             y_low = jnp.asarray(y_low, jnp.float32)
 
-            def loss(p, gp=gp, x=x_low, y=y_low):
-                return gp.nll(p, x, y)
-
             new_p, hist = _run_stage(
-                loss, model.params["gp"][0], max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
+                _Car0Loss(gp), model.params["gp"][0], max_iter, lr_init,
+                n_restarts, jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=x_low,
+                loss_args=(x_low, y_low),
             )
             model.params["gp"][0] = new_p
         else:
@@ -241,16 +263,12 @@ def train_CAR(
             shift, scale = _residual_norm(yh - jnp.exp(model.params["b"]) * yl)
             model.stage_norm[i_fid] = (shift, scale)
 
-            def loss(p, gp=gp, sx=sx, yl=yl, yh=yh, shift=shift, scale=scale):
-                res = (yh - jnp.exp(p["b"]) * yl - shift) / scale
-                gp_p = ContinuousAutoRegression._bind_b(p["gp"], p["b"])
-                return gp.nll(gp_p, sx, res)
-
             stage_p = {"gp": model.params["gp"][i_fid], "b": model.params["b"]}
             stage_p, hist = _run_stage(
-                loss, stage_p, max_iter, lr_init, n_restarts,
+                _CarResLoss(gp), stage_p, max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=sx, gp_field="gp",
+                loss_args=(sx, yl, yh, jnp.float32(shift), jnp.float32(scale)),
             )
             model.params["gp"][i_fid] = stage_p["gp"]
             model.params["b"] = stage_p["b"]

@@ -23,6 +23,37 @@ from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
 from fidelityfusion_tpu.models.ar import _run_stage, _residual_norm, stage_x
 from fidelityfusion_tpu.ops.kernels import Kernel
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class _Cigar0Loss:
+    """Stage-0 NLML as an equality-stable callable: equal specs hash
+    equal, so retrains of freshly built models reuse the compiled
+    training program (train/fit.py cached path)."""
+
+    gp: CIGP
+
+    def __call__(self, p, x, y):
+        return self.gp.nll(p["gp"], x, y)
+
+
+@dataclasses.dataclass(frozen=True)
+class _CigarResLoss:
+    """Residual-stage NLML: lift the flattened low-fidelity batch with
+    the TensorLinear map (trained through the loss) and standardize.
+    ``rv`` is the imputed-variance target (None in subset mode)."""
+
+    gp: CIGP
+    tl: TensorLinear
+
+    def __call__(self, p, sx, yl, yh, rv, shift, scale):
+        lift = self.tl.apply(
+            p["tl"], yl.reshape((yl.shape[0],) + self.tl.l_shape)
+        )
+        res = (yh - lift.reshape(lift.shape[0], -1) - shift) / scale
+        return self.gp.nll(p["gp"], sx, res, y_var=rv)
+
 
 class CIGAR:
     def __init__(
@@ -133,14 +164,12 @@ def train_CIGAR(
             x_low = jnp.asarray(x_low, jnp.float32)
             y_low = jnp.asarray(y_low, jnp.float32).reshape(len(y_low), -1)
 
-            def loss(p, gp=gp, x=x_low, y=y_low):
-                return gp.nll(p["gp"], x, y)
-
             stage_p = {"gp": model.params["gp"][0]}
             stage_p, hist = _run_stage(
-                loss, stage_p, max_iter, lr_init, n_restarts,
+                _Cigar0Loss(gp), stage_p, max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=x_low, gp_field="gp",
+                loss_args=(x_low, y_low),
             )
             model.params["gp"][0] = stage_p["gp"]
         else:
@@ -164,9 +193,8 @@ def train_CIGAR(
                 model.stage_norm[i_fid] = (shift, scale)
                 rv = rv / scale**2
 
-                def loss(p, gp=gp, sx=sx, yl=yl, yh=yh, rv=rv, shift=shift, scale=scale):
-                    res = (yh - model._apply_tl_flat(i_fid - 1, p["tl"], yl) - shift) / scale
-                    return gp.nll(p["gp"], sx, res, y_var=rv)
+                loss_args_i = (sx, yl, yh, rv,
+                               jnp.float32(shift), jnp.float32(scale))
 
             else:
                 _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
@@ -183,18 +211,19 @@ def train_CIGAR(
                 )
                 model.stage_norm[i_fid] = (shift, scale)
 
-                def loss(p, gp=gp, sx=sx, yl=yl, yh=yh, shift=shift, scale=scale):
-                    res = (yh - model._apply_tl_flat(i_fid - 1, p["tl"], yl) - shift) / scale
-                    return gp.nll(p["gp"], sx, res)
+                loss_args_i = (sx, yl, yh, None,
+                               jnp.float32(shift), jnp.float32(scale))
 
             stage_p = {
                 "gp": model.params["gp"][i_fid],
                 "tl": model.params["tl"][i_fid - 1],
             }
             stage_p, hist = _run_stage(
-                loss, stage_p, max_iter, lr_init, n_restarts,
+                _CigarResLoss(gp, model.tl_list[i_fid - 1]), stage_p,
+                max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=sx, gp_field="gp",
+                loss_args=loss_args_i,
             )
             model.params["gp"][i_fid] = stage_p["gp"]
             model.params["tl"][i_fid - 1] = stage_p["tl"]

@@ -27,6 +27,33 @@ from fidelityfusion_tpu.models.hogp import HOGP, HOGPState
 from fidelityfusion_tpu.models.ar import _run_stage, _residual_norm, stage_x
 from fidelityfusion_tpu.ops.kernels import Kernel
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class _Gar0Loss:
+    """Stage-0 HOGP NLML as an equality-stable callable (compiled-program
+    reuse across retrains; see models/ar.py:_CigpNLL)."""
+
+    hogp: HOGP
+
+    def __call__(self, p, x, y):
+        return self.hogp.nll(p["hogp"], x, y)
+
+
+@dataclasses.dataclass(frozen=True)
+class _GarResLoss:
+    """Residual-stage HOGP NLML with the TensorLinear lift trained
+    through the loss; ``rv`` is the imputed variance (None in subset
+    mode)."""
+
+    hogp: HOGP
+    tl: TensorLinear
+
+    def __call__(self, p, sx, yl, yh, rv, shift, scale):
+        res = (yh - self.tl.apply(p["tl"], yl) - shift) / scale
+        return self.hogp.nll(p["hogp"], sx, res, y_var=rv)
+
 
 class GAR:
     def __init__(
@@ -133,14 +160,12 @@ def train_GAR(
             x_low = jnp.asarray(x_low, jnp.float32)
             y_low = jnp.asarray(y_low, jnp.float32)
 
-            def loss(p, hogp=hogp, x=x_low, y=y_low):
-                return hogp.nll(p["hogp"], x, y)
-
             stage_p = {"hogp": model.params["hogp"][0]}
             stage_p, hist = _run_stage(
-                loss, stage_p, max_iter, lr_init, n_restarts,
+                _Gar0Loss(hogp), stage_p, max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=hogp.kernel, x=x_low, gp_field="hogp",
+                loss_args=(x_low, y_low),
             )
             model.params["hogp"][0] = stage_p["hogp"]
             _, state = hogp.nll_with_state(stage_p["hogp"], x_low, y_low)
@@ -169,10 +194,8 @@ def train_GAR(
                 model.stage_norm[i_fid] = (shift, scale)
                 res_var = res_var / scale**2
 
-                def loss(p, hogp=hogp, tl=tl, sx=sx, yl=yl_m, yh=yh_m,
-                         rv=res_var, shift=shift, scale=scale):
-                    res = (yh - tl.apply(p["tl"], yl) - shift) / scale
-                    return hogp.nll(p["hogp"], sx, res, y_var=rv)
+                loss_args_i = (sx, yl_m, yh_m, res_var,
+                               jnp.float32(shift), jnp.float32(scale))
 
             else:
                 _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
@@ -187,19 +210,18 @@ def train_GAR(
                 )
                 model.stage_norm[i_fid] = (shift, scale)
 
-                def loss(p, hogp=hogp, tl=tl, sx=sx, yl=yl, yh=yh,
-                         shift=shift, scale=scale):
-                    res = (yh - tl.apply(p["tl"], yl) - shift) / scale
-                    return hogp.nll(p["hogp"], sx, res)
+                loss_args_i = (sx, yl, yh, None,
+                               jnp.float32(shift), jnp.float32(scale))
 
             stage_p = {
                 "hogp": model.params["hogp"][i_fid],
                 "tl": model.params["tl"][i_fid - 1],
             }
             stage_p, hist = _run_stage(
-                loss, stage_p, max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
+                _GarResLoss(hogp, tl), stage_p, max_iter, lr_init,
+                n_restarts, jax.random.fold_in(key, i_fid),
                 kernel_spec=hogp.kernel, x=sx, gp_field="hogp",
+                loss_args=loss_args_i,
             )
             model.params["hogp"][i_fid] = stage_p["hogp"]
             model.params["tl"][i_fid - 1] = stage_p["tl"]
