@@ -17,3 +17,14 @@ from fidelityfusion_tpu.models.gar import GAR, train_GAR  # noqa: F401
 from fidelityfusion_tpu.models.cigar import CIGAR, train_CIGAR  # noqa: F401
 from fidelityfusion_tpu.models.fides import FIDES, FidelityBounds  # noqa: F401
 from fidelityfusion_tpu.models.coupling import TensorLinear  # noqa: F401
+from fidelityfusion_tpu.models.two_fidelity import (  # noqa: F401
+    ARTwoFidelity,
+    GARTwoFidelity,
+    NARTwoFidelity,
+    ResGPTwoFidelity,
+    find_subsets_and_indexes,
+    train_AR_twofidelity,
+    train_GAR_twofidelity,
+    train_NAR_twofidelity,
+    train_ResGP_twofidelity,
+)
