@@ -35,8 +35,8 @@ RECORDED = {
     "nlml300": 6289.0,        # steps/s (live 2026-08-17)
     "nlml1024": 1899.0,       # steps/s (live 2026-08-17)
     "nlml4096": 86.2,         # steps/s (live 2026-08-18)
-    "nlml1024_fused": 2341.0,  # steps/s (live 2026-08-17)
-    "nlml4096_fused": 86.8,    # steps/s (live 2026-08-18)
+    "nlml1024_fused": 2755.0,  # steps/s (live 2026-08-19, hybrid GEMM NLML)
+    "nlml4096_fused": 147.0,   # steps/s (live 2026-08-19, hybrid GEMM NLML)
     "restarts": 2993.0,       # aggregate steps/s, R=32 n=1024, GEMM-only
                               # blocked NLML (live 2026-08-18; fused path
                               # measured 2125 the same day)

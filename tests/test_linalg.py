@@ -180,7 +180,7 @@ def test_blocked_chol_inv_matches_xla(rng):
     for n, block in [(256, 64), (192, 64), (128, 128)]:
         A = rng.standard_normal((n, n)).astype(np.float32)
         S = A @ A.T + n * np.eye(n, dtype=np.float32)
-        for leaf in ("fused", "xla"):
+        for leaf in ("fused", "xla", "hybrid"):
             Lb, W = B.blocked_chol_inv(jnp.asarray(S), block=block, leaf=leaf)
             L_ref = np.linalg.cholesky(S)
             np.testing.assert_allclose(
@@ -223,3 +223,60 @@ def test_blocked_nll_matches_fused(rng):
     vb = jax.vmap(lambda s, yy: B.mvn_nll_blocked(s, yy, block=64))(Ss, ys)
     vf = jax.vmap(L.mvn_nll_fused)(Ss, ys)
     np.testing.assert_allclose(np.asarray(vb), np.asarray(vf), rtol=1e-5)
+
+
+def test_hybrid_nll_matches_fused(rng):
+    """leaf='hybrid' (XLA whole-matrix cholesky + GEMM-assembled inv(L) —
+    the large-n single-matrix path, 1.8x faster steps at n=4096 on v5e)
+    must match mvn_nll_fused in value and gradient, incl. padding."""
+    import jax
+    from fidelityfusion_tpu.ops import blocked as B
+
+    for n in (256, 300):
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        S = jnp.asarray(A @ A.T + n * np.eye(n, dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+        v_h = float(B.mvn_nll_blocked(S, y, block=64, leaf="hybrid"))
+        v_f = float(L.mvn_nll_fused(S, y))
+        np.testing.assert_allclose(v_h, v_f, rtol=1e-5)
+        g_h = jax.grad(
+            lambda s, yy: B.mvn_nll_blocked(s, yy, block=64, leaf="hybrid"),
+            argnums=(0, 1),
+        )(S, y)
+        g_f = jax.grad(L.mvn_nll_fused, argnums=(0, 1))(S, y)
+        np.testing.assert_allclose(
+            np.asarray(g_h[0]), np.asarray(g_f[0]), rtol=2e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_h[1]), np.asarray(g_f[1]), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_mvn_nll_hybrid_arbitrary_n(rng):
+    """mvn_nll_hybrid (pad-AFTER-cholesky single-matrix path, the CIGP
+    default at n >= 512) vs mvn_nll_fused at non-block-multiple n and
+    single/multi-column y; tri_inv_gemm crops exactly."""
+    import jax
+    from fidelityfusion_tpu.ops import blocked as B
+
+    for n, d in ((200, 1), (300, 3), (512, 2)):
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        S = jnp.asarray(A @ A.T + n * np.eye(n, dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        v_h = float(B.mvn_nll_hybrid(S, y, 128))
+        v_f = float(L.mvn_nll_fused(S, y))
+        np.testing.assert_allclose(v_h, v_f, rtol=1e-5)
+        g_h = jax.grad(lambda s, yy: B.mvn_nll_hybrid(s, yy, 128),
+                       argnums=(0, 1))(S, y)
+        g_f = jax.grad(L.mvn_nll_fused, argnums=(0, 1))(S, y)
+        np.testing.assert_allclose(
+            np.asarray(g_h[0]), np.asarray(g_f[0]), rtol=2e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_h[1]), np.asarray(g_f[1]), rtol=1e-4, atol=1e-6
+        )
+        Lc = jnp.asarray(np.linalg.cholesky(np.asarray(S)))
+        W = B.tri_inv_gemm(Lc, block=128)
+        np.testing.assert_allclose(
+            np.asarray(W @ Lc), np.eye(n), atol=5e-5
+        )
