@@ -26,6 +26,7 @@ from fidelityfusion_tpu.experiments.metrics import calculate_metrix
 from fidelityfusion_tpu.models.cigp import CIGP
 from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
 from fidelityfusion_tpu.parallel.mesh import make_mesh, shard_leading_axis
+from fidelityfusion_tpu.train.fit import adam_scan
 
 
 def _ar_train_predict(gp: CIGP, steps: int, lr: float):
@@ -33,28 +34,11 @@ def _ar_train_predict(gp: CIGP, steps: int, lr: float):
     predict cascade) as a pure function of one seed's data arrays."""
     opt = optax.adam(lr)
 
-    def adam_scan(loss_fn, p0):
-        # NaN last-good rollback, same semantics as train/fit.py
-        def step(carry, _):
-            p, s, good = carry
-            loss, g = jax.value_and_grad(loss_fn)(p)
-            u, s2 = opt.update(g, s, p)
-            new_p = optax.apply_updates(p, u)
-            finite = jnp.isfinite(loss)
-
-            def sel(a, b):
-                return jax.tree_util.tree_map(
-                    lambda x, y: jnp.where(finite, x, y), a, b
-                )
-
-            return (sel(new_p, good), sel(s2, s), sel(p, good)), loss
-
-        (p, _, good), losses = jax.lax.scan(
-            step, (p0, opt.init(p0), p0), None, length=steps
-        )
-        # `p` is one never-evaluated update ahead; `good` is the last
-        # params whose loss was verified finite — always return those.
-        return good, losses
+    def train_last_good(loss_fn, p0):
+        # `good_p` is the last params whose loss was verified finite
+        # (the final params are one never-evaluated update ahead).
+        _, good_p, losses = adam_scan(loss_fn, p0, opt, steps)
+        return good_p, losses
 
     def run(data):
         xl, yl, xh, yl_at_xh, yh, xt = (
@@ -62,13 +46,15 @@ def _ar_train_predict(gp: CIGP, steps: int, lr: float):
             data["yh"], data["xt"],
         )
         p0 = data["p_low"]
-        p_low, _ = adam_scan(lambda p: gp.nll(p, xl, yl), p0)
+        p_low, _ = train_last_good(lambda p: gp.nll(p, xl, yl), p0)
 
         def res_loss(pr):
             res = yh - pr["rho"] * yl_at_xh
             return gp.nll(pr["gp"], xh, res)
 
-        p_res, _ = adam_scan(res_loss, {"gp": data["p_res"], "rho": data["rho"]})
+        p_res, _ = train_last_good(
+            res_loss, {"gp": data["p_res"], "rho": data["rho"]}
+        )
 
         mean_l, var_l = gp.predict_diag(p_low, xl, yl, xt)
         res_final = yh - p_res["rho"] * yl_at_xh
@@ -96,7 +82,9 @@ def run_sharded_seed_sweep(
     same protocol as `experiments/sweep.py:run_single(method='AR')` with
     normalization folded into the data build.
     """
-    gp = CIGP(kernel=SquaredExponentialKernel())
+    # hybrid_nll off: this nll runs under vmap (seeds axis), where the
+    # single-matrix hybrid path's batched XLA cholesky serializes
+    gp = CIGP(kernel=SquaredExponentialKernel(), hybrid_nll=False)
 
     batches = []
     truths = []

@@ -39,6 +39,15 @@ class CIGP:
     # serialize); the restart trainer turns this on per stage
     # (models/ar.py:_run_stage) — slower un-batched, so off by default
     blocked_nll: bool = False
+    # GEMM-only solves/VJP around XLA's single cholesky (ops/blocked.py:
+    # mvn_nll_hybrid): 1.25-1.8x faster unbatched steps for n >= 512 on
+    # v5e, but SLOW under vmap (XLA's batched cholesky serializes) — the
+    # restart trainer swaps batched stages to mvn_nll_blocked instead
+    # (models/ar.py:_blocked_variant).  Direct callers that vmap a CIGP
+    # nll at n >= 512 (e.g. parallel/mesh.py:sharded_fit_restarts) should
+    # pass hybrid_nll=False explicitly.
+    hybrid_nll: bool = True
+    hybrid_min_n: int = 512
 
     def init_params(self, input_dim: int, log_beta: float = 1.0):
         return {
@@ -83,12 +92,7 @@ class CIGP:
             return mvn_nll_blocked(Sigma, y2, mask=mask)
         if self.fused_nll and mask is None:
             y2 = y if y.ndim == 2 else y[:, None]
-            if x.shape[0] >= 512:
-                # GEMM-only solves/VJP around XLA's cholesky: 1.25-1.8x
-                # faster steps for n in [512, 4096] on v5e (ops/blocked.py:
-                # mvn_nll_hybrid).  NOT for vmapped batches — the restart
-                # trainer swaps those to mvn_nll_blocked instead
-                # (models/ar.py:_blocked_variant).
+            if self.hybrid_nll and x.shape[0] >= self.hybrid_min_n:
                 from fidelityfusion_tpu.ops.blocked import mvn_nll_hybrid
 
                 return mvn_nll_hybrid(Sigma, y2)

@@ -36,10 +36,16 @@ def find_subsets_and_indexes(x_low, x_high):
 
     Returns ``(subset_x, subset_indexes_low, subset_indexes_high)``.
     """
-    xl = np.atleast_2d(np.asarray(x_low))
-    xh = np.atleast_2d(np.asarray(x_high))
-    if xl.shape[0] == xl.size:
-        xl = xl.reshape(-1, 1) if np.asarray(x_low).ndim == 1 else xl
+    xl = np.asarray(x_low)
+    xh = np.asarray(x_high)
+    # 1-D inputs are n scalar design points (the reference's torch.isin
+    # usage), i.e. column vectors — NOT a single n-dim row.
+    xl = xl.reshape(-1, 1) if xl.ndim == 1 else np.atleast_2d(xl)
+    xh = xh.reshape(-1, 1) if xh.ndim == 1 else np.atleast_2d(xh)
+    if xl.shape[1] != xh.shape[1]:
+        raise ValueError(
+            f"x_low and x_high have incompatible input dims "
+            f"{xl.shape[1]} vs {xh.shape[1]}")
     eq = (xl[:, None, :] == xh[None, :, :]).all(-1)
     idx_low, idx_high = np.nonzero(eq)
     # keep first match per low row, reference semantics (unique designs)

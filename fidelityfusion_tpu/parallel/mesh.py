@@ -52,10 +52,14 @@ def sharded_fit_restarts(
     steps: int = 100,
     lr: float = 1e-2,
     axis_name: str = "restart",
+    loss_args: Optional[tuple] = None,
 ):
     """`train/fit.py:fit_restarts` with the restart axis sharded across the
     mesh: each device trains its own restarts; the best-restart argmax is a
     cross-device reduction XLA inserts automatically.
+
+    ``loss_args`` enables fit_restarts' cached-program path (stable-identity
+    ``loss_fn`` called as ``loss_fn(p, *loss_args)``).
 
     Returns (best_params (replicated), losses (restarts, steps)).
     """
@@ -63,7 +67,9 @@ def sharded_fit_restarts(
 
     params_batch = shard_leading_axis(params_batch, mesh, axis_name)
     with mesh:
-        best, result = fit_restarts(loss_fn, params_batch, steps=steps, lr=lr)
+        best, result = fit_restarts(
+            loss_fn, params_batch, steps=steps, lr=lr, loss_args=loss_args
+        )
     return best, result
 
 

@@ -66,16 +66,17 @@ def restart_scaling_efficiency(
     """
     import jax
     import jax.numpy as jnp
-    import optax
 
     from fidelityfusion_tpu.models.cigp import CIGP
     from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
-    from fidelityfusion_tpu.parallel.mesh import make_mesh, shard_leading_axis
+    from fidelityfusion_tpu.parallel.mesh import make_mesh, sharded_fit_restarts
 
     rng = np.random.default_rng(0)
     x = (rng.random((n, 1)) * 20).astype(np.float32)
     y = np.sin(x).astype(np.float32)
-    gp = CIGP(kernel=SquaredExponentialKernel())
+    # hybrid_nll off: the nll runs under vmap (restart axis) where the
+    # single-matrix hybrid path's batched XLA cholesky serializes
+    gp = CIGP(kernel=SquaredExponentialKernel(), hybrid_nll=False)
     p0 = {
         "kernel": {
             "length_scale": np.ones(1, np.float32),
@@ -83,19 +84,6 @@ def restart_scaling_efficiency(
         },
         "log_beta": np.ones(1, np.float32),
     }
-    opt = optax.adam(1e-2)
-
-    def single(p_init):
-        def body(carry, _):
-            p, s = carry
-            loss, g = jax.value_and_grad(lambda pp: gp.nll(pp, x, y))(p)
-            u, s = opt.update(g, s, p)
-            return (optax.apply_updates(p, u), s), loss
-
-        (_, _), losses = jax.lax.scan(
-            body, (p_init, opt.init(p_init)), None, length=steps
-        )
-        return jnp.sum(losses)
 
     results = {}
     times = {}
@@ -106,14 +94,20 @@ def restart_scaling_efficiency(
             lambda a: np.stack([a + 0.01 * i for i in range(R)]), p0
         )
         mesh = make_mesh(D)
-        batch_s = shard_leading_axis(batch, mesh)
-        run = jax.jit(lambda b: jnp.sum(jax.vmap(single)(b)))
-        with mesh:
-            float(run(batch_s))  # compile
-            t0 = time.time()
-            for _ in range(reps):
-                float(run(batch_s))
-            times[D] = (time.time() - t0) / reps
+
+        def run():
+            # the one shared training loop (train/fit.py:adam_scan under
+            # fit_restarts), restart axis sharded over the mesh
+            _, result = sharded_fit_restarts(
+                gp.nll, batch, mesh, steps=steps, lr=1e-2, loss_args=(x, y)
+            )
+            return float(jnp.sum(result.losses))
+
+        run()  # compile
+        t0 = time.time()
+        for _ in range(reps):
+            run()
+        times[D] = (time.time() - t0) / reps
     base = times[min(times)]
     for D, t in times.items():
         results[f"time_s_D{D}"] = t

@@ -54,21 +54,30 @@ def _masked_updates(updates, trainable):
     )
 
 
-def _scan_train(loss_fn, p0, trainable, loss_args, steps, opt):
-    """One compiled training loop: `steps` Adam updates with NaN rollback.
-    ``loss_fn`` is called as ``loss_fn(p, *loss_args)``."""
+def adam_scan(loss_fn, p0, opt, steps, trainable=None, loss_args=()):
+    """THE Adam training loop: ``steps`` updates inside one `lax.scan` with
+    NaN last-good rollback (the reference's `log_debugger.get_status`
+    semantics, `Experiments/log_debugger.py:58-88`): a step producing a
+    non-finite loss or non-finite updates resets params and optimizer state
+    to the last verified-finite snapshot.
+
+    This is the single scan implementation in the framework — `fit`,
+    `fit_restarts`, `parallel/multihost.py` and
+    `experiments/sharded_sweep.py` all consume it (pure jax: vmap/shard
+    freely).  Returns ``(p_final, good_p, losses)`` where ``p_final`` is
+    one never-evaluated update ahead and ``good_p`` is the last params
+    whose loss was verified finite.
+    """
     opt_state0 = opt.init(p0)
 
     def step(carry, _):
-        p, opt_state = carry
+        p, opt_state, good_p, good_opt = carry
         loss, grads = jax.value_and_grad(
             lambda pp: loss_fn(pp, *loss_args)
         )(p)
         grads = _masked_updates(grads, trainable)
         updates, new_opt_state = opt.update(grads, opt_state, p)
         new_p = optax.apply_updates(p, updates)
-        # NaN rollback: keep previous params/opt-state on non-finite loss
-        # or non-finite updates (log_debugger.get_status semantics).
         finite = jnp.isfinite(loss) & jnp.all(
             jnp.asarray(
                 [
@@ -83,9 +92,23 @@ def _scan_train(loss_fn, p0, trainable, loss_args, steps, opt):
                 lambda a, b: jnp.where(finite, a, b), new, old
             )
 
-        return (sel(new_p, p), sel(new_opt_state, opt_state)), loss
+        return (
+            sel(new_p, good_p),
+            sel(new_opt_state, good_opt),
+            sel(p, good_p),
+            sel(opt_state, good_opt),
+        ), loss
 
-    (p_final, _), losses = jax.lax.scan(step, (p0, opt_state0), None, length=steps)
+    (p_final, _, good_p, _), losses = jax.lax.scan(
+        step, (p0, opt_state0, p0, opt_state0), None, length=steps
+    )
+    return p_final, good_p, losses
+
+
+def _scan_train(loss_fn, p0, trainable, loss_args, steps, opt):
+    p_final, _, losses = adam_scan(
+        loss_fn, p0, opt, steps, trainable=trainable, loss_args=loss_args
+    )
     return p_final, losses
 
 
@@ -139,41 +162,8 @@ def fit(
 
 def _restart_single(loss_fn, p0, trainable, loss_args, steps, opt):
     """One restart's training loop with last-good fallback on divergence."""
-    opt_state0 = opt.init(p0)
-
-    def step(carry, _):
-        p, opt_state, good_p, good_opt = carry
-        loss, grads = jax.value_and_grad(
-            lambda pp: loss_fn(pp, *loss_args)
-        )(p)
-        grads = _masked_updates(grads, trainable)
-        updates, new_opt_state = opt.update(grads, opt_state, p)
-        new_p = optax.apply_updates(p, updates)
-        finite = jnp.isfinite(loss) & jnp.all(
-            jnp.asarray(
-                [
-                    jnp.all(jnp.isfinite(u))
-                    for u in jax.tree_util.tree_leaves(updates)
-                ]
-            )
-        )
-
-        def sel(new, old):
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(finite, a, b), new, old
-            )
-
-        next_p = sel(new_p, good_p)
-        next_opt = sel(new_opt_state, good_opt)
-        return (
-            next_p,
-            next_opt,
-            sel(p, good_p),
-            sel(opt_state, good_opt),
-        ), loss
-
-    (p_final, _, good_p, _), losses = jax.lax.scan(
-        step, (p0, opt_state0, p0, opt_state0), None, length=steps
+    p_final, good_p, losses = adam_scan(
+        loss_fn, p0, opt, steps, trainable=trainable, loss_args=loss_args
     )
     last_finite = jnp.isfinite(losses[-1])
     p_final = jax.tree_util.tree_map(

@@ -56,17 +56,28 @@ def chain_time(make_fn, L1, L2, reps=3):
 
 
 def step_time(gp, n, L1, L2):
+    """Fused-VJP baseline, pinned to linalg.mvn_nll_fused directly (NOT
+    gp.nll, whose size-based dispatch now routes n>=512 to the hybrid path
+    — going through it would make both experiment arms measure hybrid)."""
+    from fidelityfusion_tpu.ops import linalg
+
     rng = np.random.default_rng(0)
     x = (rng.random((n, 1)) * 20).astype(np.float32)
     y = np.sin(x)
     p0 = se_params()
     opt = optax.adam(1e-2)
+    kern = gp.kernel
+
+    def nll(p):
+        K = kern.apply(p["kernel"], jnp.asarray(x), jnp.asarray(x))
+        Sigma = linalg.assemble_sigma(K, jnp.exp(-p["log_beta"][0]))
+        return linalg.mvn_nll_fused(Sigma, jnp.asarray(y))
 
     def mk(L):
         def fn():
             def body(carry, _):
                 p, s = carry
-                loss, g = jax.value_and_grad(lambda pp: gp.nll(pp, x, y))(p)
+                loss, g = jax.value_and_grad(nll)(p)
                 u, s = opt.update(g, s, p)
                 return (optax.apply_updates(p, u), s), loss
 

@@ -280,3 +280,60 @@ def test_mvn_nll_hybrid_arbitrary_n(rng):
         np.testing.assert_allclose(
             np.asarray(W @ Lc), np.eye(n), atol=5e-5
         )
+
+
+def test_hybrid_nll_ill_conditioned_se_gram():
+    """f32 accuracy of the default large-n path (mvn_nll_hybrid) on a
+    REALISTIC ill-conditioned GP covariance — SE Gram at n=512 with small
+    noise 1e-4 (cond ~1e6; the well-conditioned A@A.T+n*I fixtures above
+    never stress the explicit-inverse + D&C assembly).  Reference = f64
+    numpy closed form; the hybrid path must stay within a small factor of
+    the fused (triangular-solve) path's own f32 error."""
+    import jax
+
+    from fidelityfusion_tpu.ops import blocked as B
+
+    rng_l = np.random.default_rng(7)
+    n = 512
+    x = np.sort(rng_l.random(n) * 20.0)
+    d2 = (x[:, None] - x[None, :]) ** 2
+    K64 = np.exp(-0.5 * d2 / 1.5**2) + (1e-4 + 1e-6) * np.eye(n)
+    y64 = np.sin(x)[:, None] + 0.01 * rng_l.standard_normal((n, 1))
+
+    # float64 reference value and gradients (closed form)
+    Lc = np.linalg.cholesky(K64)
+    alpha = np.linalg.solve(K64, y64)
+    Kinv = np.linalg.inv(K64)
+    val64 = (
+        0.5 * float((y64 * alpha).sum())
+        + float(np.log(np.diag(Lc)).sum())
+        + 0.5 * n * np.log(2 * np.pi)
+    )
+    gS64 = 0.5 * (Kinv - alpha @ alpha.T)
+    gy64 = alpha
+
+    S32 = jnp.asarray(K64, jnp.float32)
+    y32 = jnp.asarray(y64, jnp.float32)
+
+    def errs(fn):
+        v = float(fn(S32, y32))
+        gS, gy = jax.grad(fn, argnums=(0, 1))(S32, y32)
+        ev = abs(v - val64) / abs(val64)
+        egS = float(np.max(np.abs(np.asarray(gS) - gS64))) / float(
+            np.max(np.abs(gS64))
+        )
+        egy = float(np.max(np.abs(np.asarray(gy) - gy64))) / float(
+            np.max(np.abs(gy64))
+        )
+        return ev, egS, egy
+
+    ev_f, egS_f, egy_f = errs(L.mvn_nll_fused)
+    ev_h, egS_h, egy_h = errs(lambda s, yy: B.mvn_nll_hybrid(s, yy, 128))
+
+    # hybrid must be usable in its own right on this conditioning...
+    assert ev_h < 1e-3, f"hybrid value rel err {ev_h}"
+    assert egS_h < 0.05, f"hybrid dSigma rel err {egS_h}"
+    assert egy_h < 0.05, f"hybrid dy rel err {egy_h}"
+    # ...and not meaningfully worse than the triangular-solve path
+    assert egS_h < 10 * max(egS_f, 1e-4), (egS_h, egS_f)
+    assert egy_h < 10 * max(egy_f, 1e-4), (egy_h, egy_f)

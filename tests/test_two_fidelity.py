@@ -40,6 +40,27 @@ def test_find_subsets_and_indexes():
     np.testing.assert_array_equal(sorted(il.tolist()), [1, 3, 5])
 
 
+def test_find_subsets_1d_inputs():
+    # The reference's torch.isin version accepted flat 1-D design vectors
+    # (`two_fidelity_models/AR_autoRegression.py:15-22`); each scalar is a
+    # design point, so 1-D inputs must be treated as column vectors.
+    x_low = np.arange(8, dtype=np.float32)
+    x_high = np.asarray([1.0, 3.0, 5.0], np.float32)
+    sub, il, ih = find_subsets_and_indexes(x_low, x_high)
+    assert sub.shape == (3, 1)
+    np.testing.assert_array_equal(sorted(il.tolist()), [1, 3, 5])
+    # mixed 1-D low + 2-D high must behave identically (not silently empty)
+    sub2, il2, ih2 = find_subsets_and_indexes(x_low, x_high.reshape(-1, 1))
+    np.testing.assert_array_equal(il, il2)
+    np.testing.assert_array_equal(ih, ih2)
+
+
+def test_find_subsets_dim_mismatch_raises():
+    with pytest.raises(ValueError):
+        find_subsets_and_indexes(np.zeros((4, 2), np.float32),
+                                 np.zeros((3, 5), np.float32))
+
+
 def test_find_subsets_multidim():
     rng = np.random.default_rng(0)
     x_low = rng.random((10, 3)).astype(np.float32)
