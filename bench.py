@@ -44,6 +44,10 @@ RECORDED = {
     "gram4096": 0.5,          # ms (estimate from matmul roofline)
     "pallas_chol4096": float("nan"),
     "pallas_gram4096": 0.072,  # ms (live 2026-08-18, ~HBM roofline)
+    "hogp128": float("nan"),      # steps/s, n=128 (32,32) fields
+    "hogp1024": float("nan"),     # steps/s, n=1024 (32,32,32) fields
+    "eigh1024": float("nan"),     # ms, one 1024x1024 symmetric eigh
+    "modedot1024": float("nan"),  # ms, (1024,32,32,32) multi-mode-dot chain
 }
 REF_STEPS_PER_S_N1024 = 16.1  # torch-CPU measured (BASELINE.md)
 
@@ -327,6 +331,115 @@ def stage_pallas_gram():
     return per * 1e3
 
 
+def _hogp_setup(n, shape):
+    import numpy as np
+
+    from fidelityfusion_tpu.models.hogp import HOGP
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    rng = np.random.default_rng(0)
+    x = rng.random((n, 4)).astype(np.float32)
+    base = np.sin(2 * np.pi * x.sum(axis=1)).astype(np.float32)
+    pattern = rng.random(shape).astype(np.float32)
+    y = base.reshape((n,) + (1,) * len(shape)) * pattern  # (n, *shape)
+    hogp = HOGP(kernel=SquaredExponentialKernel(), output_shape=shape)
+    p0 = {
+        "kernel": {
+            "length_scale": np.ones(1, np.float32),
+            "signal_variance": np.ones(1, np.float32),
+        },
+        "noise_variance": np.ones(1, np.float32),
+    }
+    return hogp, p0, x, y
+
+
+def stage_hogp(n: int, shape):
+    """HOGP NLML+grad+Adam steps/s — the GAR/Kronecker hot path
+    (`GaussianProcess/hogp_simple.py:73-113`): per-mode eigh + A tensor +
+    multi-mode-dot chains instead of a dense n*prod(d) Cholesky."""
+    _watchdog(420)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    hogp, p0, x, y = _hogp_setup(n, shape)
+    opt = optax.adam(1e-2)
+
+    def mk(L):
+        def fn():
+            def body(carry, _):
+                p, s = carry
+                loss, g = jax.value_and_grad(lambda pp: hogp.nll(pp, x, y))(p)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), loss
+
+            (_, _), losses = jax.lax.scan(body, (p0, opt.init(p0)), None, length=L)
+            return jnp.sum(losses) * 1e-6
+
+        return jax.jit(fn)
+
+    L1, L2 = (2, 10) if n >= 1024 else (5, 55)
+    per = _chain_time(mk, L1, L2)
+    return 1.0 / per
+
+
+def stage_eigh(n: int = 1024):
+    """Isolated symmetric eigendecomposition (the HOGP mode-0 factor)."""
+    _watchdog(420)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    A = rng.random((n, 64)).astype(np.float32)
+    K = A @ A.T + n * np.eye(n, dtype=np.float32)
+
+    def mk(L):
+        def fn():
+            def body(c, _):
+                lam, V = jnp.linalg.eigh(K + (c * 1e-9) * jnp.eye(n))
+                return jnp.sum(lam) * 1e-9 + jnp.sum(V) * 1e-12, ()
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=L)
+            return out
+
+        return jax.jit(fn)
+
+    per = _chain_time(mk, 1, 5)
+    return per * 1e3
+
+
+def stage_modedot(n: int = 1024, shape=(32, 32, 32)):
+    """The HOGP solve chain: multi_mode_dot of a (n, *shape) tensor with
+    the per-mode eigenvector matrices (forward rotation T1), timed alone —
+    pure batched GEMMs, should sit at the MXU roofline."""
+    _watchdog(420)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fidelityfusion_tpu.ops.kron import multi_mode_dot
+
+    rng = np.random.default_rng(0)
+    y = rng.random((n,) + tuple(shape)).astype(np.float32)
+    mats = [np.linalg.qr(rng.random((d, d)))[0].astype(np.float32)
+            for d in (n,) + tuple(shape)]
+
+    def mk(L):
+        def fn():
+            def body(c, _):
+                t = multi_mode_dot(y + c * 1e-12, mats)
+                return jnp.sum(t) * 1e-12, ()
+
+            out, _ = jax.lax.scan(body, 0.0, None, length=L)
+            return out
+
+        return jax.jit(fn)
+
+    per = _chain_time(mk, 2, 12)
+    return per * 1e3
+
+
 def stage_ref():
     try:
         sys.path.insert(0, "/root/reference")
@@ -368,6 +481,10 @@ STAGES = {
     "gram4096": stage_gram,
     "pallas_chol4096": stage_pallas_chol,
     "pallas_gram4096": stage_pallas_gram,
+    "hogp128": lambda: stage_hogp(128, (32, 32)),
+    "hogp1024": lambda: stage_hogp(1024, (32, 32, 32)),
+    "eigh1024": stage_eigh,
+    "modedot1024": stage_modedot,
     "ref": stage_ref,
 }
 
@@ -459,6 +576,7 @@ def run_monolithic(timeout: int = 1500):
 STAGE_ORDER = (
     "nlml300", "nlml1024", "nlml4096", "nlml1024_fused", "nlml4096_fused",
     "restarts", "chol4096", "gram4096", "pallas_chol4096", "pallas_gram4096",
+    "hogp128", "hogp1024", "eigh1024", "modedot1024",
 )
 
 
@@ -488,6 +606,8 @@ def main():
         "nlml1024_fused": "steps/s", "nlml4096_fused": "steps/s",
         "restarts": "agg steps/s", "chol4096": "TFLOP/s", "gram4096": "ms",
         "pallas_chol4096": "TFLOP/s", "pallas_gram4096": "ms",
+        "hogp128": "steps/s", "hogp1024": "steps/s",
+        "eigh1024": "ms", "modedot1024": "ms",
     }
     if not wait_device_ready():
         log("[probe] device never settled; recorded fallbacks likely")

@@ -11,9 +11,10 @@ The reference re-trains a full surrogate per candidate (`CFKG.py:67-69`),
 which is the dominant cost of its BO loop.  Here the lookahead posterior
 uses the *fantasy update* of the current GP stage (exact rank-1 posterior
 conditioning on the imagined observation) — mathematically the conditional
-posterior the retrain approximates, at a tiny fraction of the cost; a
-`retrain=True` mode reproduces the reference's retrain-per-candidate
-semantics for parity checks.
+posterior the retrain approximates, at a tiny fraction of the cost;
+`retrain_gain` reproduces the reference's retrain-per-candidate semantics
+(append + full posterior recompute) for parity checks, and
+tests/test_strategies.py asserts the two scorers agree.
 """
 
 from __future__ import annotations
@@ -58,6 +59,45 @@ def fantasy_gain(
     exp_max = jnp.mean(jnp.max(fantasized, axis=1))
     base_max = jnp.max(mu_grid)
     return (exp_max - base_max) / cost_s
+
+
+def retrain_gain(
+    gp,
+    params,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    x_cand: jnp.ndarray,
+    x_grid: jnp.ndarray,
+    cost_s: float,
+    n_draws: int = 16,
+) -> float:
+    """Parity-mode KG: per fantasy draw, APPEND the imagined observation to
+    the training set and recompute the FULL GP posterior over the grid —
+    the reference's retrain-per-candidate semantics (`v1/CFKG.py:67-78`)
+    with exact conditioning in place of the hyperparameter refit (the
+    refit's hyperparameter drift from one imagined point is noise, not
+    signal; conditioning is the quantity the refit approximates).
+
+    Uses the same PRNG draws as `fantasy_gain`, so the two scorers must
+    agree to linear-algebra roundoff — the correctness contract of the
+    rank-1 fantasy shortcut (tests/test_strategies.py).
+    """
+    mu_c, var_c = gp.predict_diag(params, x_train, y_train, x_cand)
+    mu_c = mu_c.reshape(-1)[0]
+    std_c = jnp.sqrt(jnp.maximum(var_c.reshape(-1)[0], 1e-12))
+    base_mu, _ = gp.predict_diag(params, x_train, y_train, x_grid)
+    base_max = jnp.max(base_mu)
+
+    eps = jax.random.normal(jax.random.PRNGKey(0), (n_draws,))
+    x_aug = jnp.concatenate([x_train, x_cand], axis=0)
+    maxes = []
+    for k in range(n_draws):
+        y_obs = (mu_c + eps[k] * std_c).reshape(1, 1)
+        y_aug = jnp.concatenate([y_train.reshape(-1, 1), y_obs], axis=0)
+        mu_k, _ = gp.predict_diag(params, x_aug, y_aug, x_grid)
+        maxes.append(jnp.max(mu_k))
+    exp_max = jnp.mean(jnp.asarray(maxes))
+    return float((exp_max - base_max) / cost_s)
 
 
 def cfkg_select(

@@ -103,7 +103,48 @@ def mf_bo_discrete(
 
         f_best = float(max(np.max(y) for y in ys))
         beta = 0.2 * objective.x_dim
-        if hasattr(model, "export_posterior"):
+        if method in ("ES", "cfKG"):
+            # v1-strategy methods (`MF_BayesianOptimization/Discrete/v1/
+            # {MF_ES,CFKG}.py` semantics) via bo/strategies.py
+            from fidelityfusion_tpu.bo.strategies import (
+                CFKGStrategy,
+                MFESStrategy,
+            )
+
+            def posterior_fn(x, s, model=model, dm=dm):
+                m, c = model.forward(dm, jnp.asarray(x, jnp.float32),
+                                     to_fidelity=s)
+                c = jnp.asarray(c)
+                v = jnp.diagonal(c) if c.ndim == 2 else c
+                return m.reshape(-1), v.reshape(-1)
+
+            def cost_fn(s1):
+                return float(objective.cost.compute_cost(s1))
+
+            if method == "ES":
+                strat = MFESStrategy(
+                    objective.x_dim, fidelity_num, posterior_fn,
+                    cost_fn=cost_fn, seed=seed + 31 * it, bounds=bounds,
+                )
+            else:
+                def cov_fn(a, b, s, model=model, dm=dm):
+                    both = jnp.concatenate(
+                        [jnp.asarray(a, jnp.float32),
+                         jnp.asarray(b, jnp.float32)], axis=0)
+                    _, c = model.forward(dm, both, to_fidelity=s)
+                    return c[: a.shape[0], a.shape[0]:]
+
+                strat = CFKGStrategy(
+                    objective.x_dim, fidelity_num,
+                    lambda x, s: posterior_fn(x, s)[0],
+                    lambda x, s: posterior_fn(x, s)[1],
+                    cov_fn, cost_fn=cost_fn, seed=seed + 77 * it,
+                    bounds=bounds, n_candidates=20,
+                )
+            new_x, new_s = strat.compute_next()
+            new_x = np.asarray(new_x, np.float32).reshape(1, -1)
+            new_s = int(new_s)
+        elif hasattr(model, "export_posterior"):
             # cached acquisition path: hashable posterior + score, data via
             # padded state pytrees -> one compiled ascent per (spec, method)
             # reused across BO iterations (see bo/optimize.py acq_args)

@@ -25,6 +25,8 @@ from fidelityfusion_tpu.models.ar import AR, train_AR
 from fidelityfusion_tpu.models.nar import NAR, train_NAR
 from fidelityfusion_tpu.models.resgp import ResGP, train_ResGP
 from fidelityfusion_tpu.models.car import ContinuousAutoRegression, train_CAR
+from fidelityfusion_tpu.models.gar import GAR, train_GAR
+from fidelityfusion_tpu.models.cigar import CIGAR, train_CIGAR
 from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
 from fidelityfusion_tpu.ops.kernels import ARDKernel, SquaredExponentialKernel
 
@@ -33,7 +35,32 @@ MODEL_REGISTRY = {
     "NAR": (NAR, train_NAR),
     "ResGP": (ResGP, train_ResGP),
     "CAR": (ContinuousAutoRegression, train_CAR),
+    "GAR": (GAR, train_GAR),
+    "CIGAR": (CIGAR, train_CIGAR),
 }
+
+# methods constructed with an explicit per-fidelity output-shape list
+# (the reference passes data_shape_list, `exp_non_aligned.py:95-96`)
+_SHAPED_METHODS = ("GAR", "CIGAR")
+
+
+def _build_model(method, y_low, y_high, subset, input_dim):
+    """Instantiate a registry model the way the reference sweep scripts do
+    (`exp_non_aligned.py:93-98`): AR-family takes (fidelity_num, kernels),
+    GAR/CIGAR additionally take the per-fidelity output shapes."""
+    cls, train_fn = MODEL_REGISTRY[method]
+    if method == "CAR":
+        model = cls(2, [ARDKernel() for _ in range(2)], input_dim=input_dim)
+    elif method in _SHAPED_METHODS:
+        shapes = [np.asarray(y_low).shape[1:] or (1,),
+                  np.asarray(y_high).shape[1:] or (1,)]
+        model = cls(2, [SquaredExponentialKernel() for _ in range(2)],
+                    data_shape_list=shapes, if_nonsubset=not subset,
+                    input_dim=input_dim)
+    else:
+        model = cls(2, [SquaredExponentialKernel() for _ in range(2)],
+                    if_nonsubset=not subset, input_dim=input_dim)
+    return model, train_fn
 
 
 def run_single(
@@ -63,22 +90,28 @@ def run_single(
              "X": data["x_high"], "Y": data["y_high"]},
         ]
     )
-    cls, train_fn = MODEL_REGISTRY[method]
-    kernels = [SquaredExponentialKernel() for _ in range(2)]
-    if method == "CAR":
-        kernels = [ARDKernel() for _ in range(2)]
-        model = cls(2, kernels, input_dim=data["x_dim"])
-    else:
-        model = cls(2, kernels, if_nonsubset=not subset, input_dim=data["x_dim"])
+    model, train_fn = _build_model(
+        method, data["y_low"], data["y_high"], subset, data["x_dim"]
+    )
     t0 = time.time()
     train_fn(model, dm, max_iter=max_iter, lr_init=lr, n_restarts=n_restarts)
     mean, cov = model.forward(dm, jnp.asarray(data["x_test"], jnp.float32))
     elapsed = time.time() - t0
-    cov = np.asarray(cov)
-    var = np.diagonal(cov) if cov.ndim == 2 else cov
-    row = calculate_metrix(data["y_test"], np.asarray(mean), var)
+    row = calculate_metrix(data["y_test"], np.asarray(mean),
+                           _pred_var(method, cov))
     row["time"] = elapsed
     return row
+
+
+def _pred_var(method: str, cov) -> np.ndarray:
+    """Per-point predictive variance from a model's second output: the AR
+    family returns a full test covariance (diagonal wanted); GAR/CIGAR
+    return per-element variance tensors (used as-is, the reference's
+    `diag_embed(flatten(var))` detour, `exp_non_aligned.py:106-107`)."""
+    cov = np.asarray(cov)
+    if method in _SHAPED_METHODS:
+        return cov.reshape(cov.shape[0], -1)
+    return np.diagonal(cov) if cov.ndim == 2 else cov
 
 
 def run_sweep(
@@ -100,22 +133,33 @@ def run_sweep(
                     row = run_single(method, dataset, seed, n_high, **kwargs)
                     row.update(
                         {"method": method, "dataset": dataset, "seed": seed,
-                         "n_high": n_high}
+                         "n_high": n_high, "train_sample_num": n_high}
                     )
                     records.append(row)
                     rows.append(row)
-                d = os.path.join(outdir, dataset)
-                os.makedirs(d, exist_ok=True)
-                path = os.path.join(d, f"{method}_seed_{seed}.csv")
-                with open(path, "w", newline="") as f:
-                    w = csv.DictWriter(
-                        f,
-                        fieldnames=["n_high", "rmse", "nrmse", "r2", "nll", "time"],
-                        extrasaction="ignore",
-                    )
-                    w.writeheader()
-                    w.writerows(records)
+                _write_csv(
+                    os.path.join(outdir, dataset),
+                    f"{method}_seed_{seed}.csv",
+                    records,
+                )
     return rows
+
+
+def _write_csv(dirpath: str, filename: str, records: List[Dict]) -> str:
+    """One reference-format CSV (`exp_non_aligned.py:53,118-123`):
+    columns train_sample_num,rmse,nrmse,r2,nll,time."""
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, filename)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(
+            f,
+            fieldnames=["train_sample_num", "rmse", "nrmse", "r2", "nll",
+                        "time"],
+            extrasaction="ignore",
+        )
+        w.writeheader()
+        w.writerows(records)
+    return path
 
 
 def _car_fixture(rng, n_low: int, n_high: int, subset: bool):
@@ -147,19 +191,12 @@ def _car_cell(method, x_low, y_low, x_high, y_high, x_test, y_test,
              "X": x_high, "Y": y_high},
         ]
     )
-    cls, train_fn = MODEL_REGISTRY[method]
-    if method == "CAR":
-        model = cls(2, [ARDKernel() for _ in range(2)], input_dim=1)
-    else:
-        model = cls(2, [SquaredExponentialKernel() for _ in range(2)],
-                    if_nonsubset=not subset, input_dim=1)
+    model, train_fn = _build_model(method, y_low, y_high, subset, 1)
     t0 = time.time()
     train_fn(model, dm, max_iter=max_iter, lr_init=lr, n_restarts=n_restarts)
     mean, cov = model.forward(dm, jnp.asarray(x_test, jnp.float32))
     elapsed = time.time() - t0
-    cov = np.asarray(cov)
-    var = np.diagonal(cov) if cov.ndim == 2 else cov
-    row = calculate_metrix(y_test, np.asarray(mean), var)
+    row = calculate_metrix(y_test, np.asarray(mean), _pred_var(method, cov))
     row["time"] = elapsed
     return row
 
@@ -254,6 +291,137 @@ def run_car_cost_sweep(
     return rows
 
 
+def _upsample_fields(fields: np.ndarray, r_hi: int) -> np.ndarray:
+    """Bilinear upsample (n, r, r) interior-grid fields to (n, r_hi, r_hi).
+
+    Interior grid coords are (i+1)/(r+1); the interpolation matrix M maps
+    coarse->fine per axis, applied as M @ F @ M.T."""
+    r_lo = fields.shape[-1]
+    g_lo = (np.arange(1, r_lo + 1)) / (r_lo + 1)
+    g_hi = (np.arange(1, r_hi + 1)) / (r_hi + 1)
+    M = np.zeros((r_hi, r_lo), np.float64)
+    for i, t in enumerate(g_hi):
+        j = np.clip(np.searchsorted(g_lo, t) - 1, 0, r_lo - 2)
+        w = (t - g_lo[j]) / (g_lo[j + 1] - g_lo[j])
+        w = np.clip(w, 0.0, 1.0)
+        M[i, j], M[i, j + 1] = 1.0 - w, w
+    return np.einsum("ab,nbc,dc->nad", M, fields.astype(np.float64), M).astype(
+        np.float32
+    )
+
+
+def _field_fixture(
+    dataset: str,
+    seed: int,
+    n_low: int,
+    n_high: int,
+    n_test: int,
+    variant: str,
+    resolutions=(8, 16),
+):
+    """Two-fidelity PDE tensor-field problem (the GAR-paper data class;
+    the reference's field npy files are absent from its snapshot, so the
+    frameworks are compared on `data/pde.py`-generated fields).
+
+    variant:
+      * 'non-aligned' — coarse (r0, r0) vs fine (r1, r1) output grids,
+        hi-fid x nested in lo-fid x (`exp_non_aligned.py:59-62` sampling);
+      * 'aligned'     — both fidelities on the fine grid (low = coarse
+        solve bilinearly upsampled: real fidelity bias, equal shapes);
+      * 'non-subset'  — non-aligned grids, hi-fid x drawn independently
+        (`exp_non_subset.py:78` / `generate_nonsubset_data`).
+    """
+    from fidelityfusion_tpu.data import pde
+
+    solver = pde.poisson_fields if dataset == "poisson" else pde.heat_fields
+    rng = np.random.default_rng(seed)
+    d_in = 4
+    x_low = rng.random((n_low, d_in)).astype(np.float32)
+    if variant == "non-subset":
+        x_high = rng.random((n_high, d_in)).astype(np.float32)
+    else:
+        x_high = x_low[:n_high]
+    x_test = rng.random((n_test, d_in)).astype(np.float32)
+
+    y_low_all = solver(np.concatenate([x_low, x_test]), resolutions[:1])[0]
+    y_hi_all = solver(
+        np.concatenate([x_high, x_test]), resolutions[1:2]
+    )[0]
+    y_low, y_test_lo = y_low_all[:n_low], y_low_all[n_low:]
+    y_high, y_test = y_hi_all[:n_high], y_hi_all[n_high:]
+    if variant == "aligned":
+        y_low = _upsample_fields(y_low, resolutions[1])
+    return x_low, y_low, x_high, y_high, x_test, y_test
+
+
+def run_gar_field_sweep(
+    methods: Sequence[str] = ("GAR", "CIGAR"),
+    datasets: Sequence[str] = ("poisson",),
+    seeds: Sequence[int] = (0, 1, 2, 3, 4),
+    n_high_grid: Sequence[int] = (4, 8, 16, 32),
+    variant: str = "non-aligned",
+    n_low: int = 100,
+    n_test: int = 100,
+    resolutions=(8, 16),
+    outdir: str = "exp_results",
+    max_iter: int = 100,
+    lr: float = 5e-2,
+    n_restarts: int = 4,
+) -> List[Dict]:
+    """The GAR-paper sweep protocols on tensor-field data
+    (`Experiments/GAR_Aligned/exp_aligned.py`, `GAR_Non_Aligned/
+    exp_non_aligned.py:43-123`, `GAR_Non_Subset/exp_non_subset.py`):
+    method x dataset x seed {0-4} x n_high {4,8,16,32}, rmse/nrmse/r2/
+    nll/time rows to ``<outdir>/<dataset>_<variant>/<method>_seed_<s>.csv``
+    in the reference CSV format."""
+    rows = []
+    subset = variant != "non-subset"
+    for dataset in datasets:
+        for method in methods:
+            for seed in seeds:
+                records = []
+                for n_high in n_high_grid:
+                    fixture = _field_fixture(
+                        dataset, seed, n_low, n_high, n_test, variant,
+                        resolutions,
+                    )
+                    x_low, y_low, x_high, y_high, x_test, y_test = fixture
+                    dm = MultiFidelityDataManager(
+                        [
+                            {"raw_fidelity_name": "0", "fidelity_indicator": 0,
+                             "X": x_low, "Y": y_low},
+                            {"raw_fidelity_name": "1", "fidelity_indicator": 1,
+                             "X": x_high, "Y": y_high},
+                        ]
+                    )
+                    model, train_fn = _build_model(
+                        method, y_low, y_high, subset, x_low.shape[1]
+                    )
+                    t0 = time.time()
+                    train_fn(model, dm, max_iter=max_iter, lr_init=lr,
+                             n_restarts=n_restarts)
+                    mean, cov = model.forward(
+                        dm, jnp.asarray(x_test, jnp.float32)
+                    )
+                    elapsed = time.time() - t0
+                    row = calculate_metrix(
+                        y_test, np.asarray(mean), _pred_var(method, cov)
+                    )
+                    row.update({
+                        "time": elapsed, "method": method, "dataset": dataset,
+                        "seed": seed, "n_high": n_high,
+                        "train_sample_num": n_high, "variant": variant,
+                    })
+                    records.append(row)
+                    rows.append(row)
+                _write_csv(
+                    os.path.join(outdir, f"{dataset}_{variant}"),
+                    f"{method}_seed_{seed}.csv",
+                    records,
+                )
+    return rows
+
+
 def main(argv=None):
     """CLI: reproduce the reference sweep protocols.
 
@@ -268,7 +436,12 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description=main.__doc__)
     parser.add_argument("--protocol", default="grid",
-                        choices=["grid", "car", "car-cost"])
+                        choices=["grid", "car", "car-cost", "gar-field"])
+    parser.add_argument("--variant", default="non-aligned",
+                        choices=["aligned", "non-aligned", "non-subset"],
+                        help="gar-field sampling variant")
+    parser.add_argument("--resolutions", nargs=2, type=int, default=[8, 16])
+    parser.add_argument("--n-restarts", type=int, default=4)
     parser.add_argument("--methods", nargs="+", default=["AR", "ResGP", "NAR"])
     parser.add_argument("--datasets", nargs="+", default=["tl112"])
     parser.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2, 3, 4])
@@ -287,7 +460,18 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    if args.protocol == "car":
+    if args.protocol == "gar-field":
+        rows = run_gar_field_sweep(
+            methods=args.methods if args.methods != ["AR", "ResGP", "NAR"]
+            else ("GAR", "CIGAR"),
+            datasets=args.datasets if args.datasets != ["tl112"]
+            else ("poisson",),
+            seeds=args.seeds, n_high_grid=args.n_high, variant=args.variant,
+            n_low=args.n_low, n_test=args.n_test,
+            resolutions=tuple(args.resolutions), outdir=args.outdir,
+            max_iter=args.max_iter, n_restarts=args.n_restarts,
+        )
+    elif args.protocol == "car":
         rows = run_car_sweep(
             methods=args.methods if args.methods != ["AR", "ResGP", "NAR"]
             else ("CAR",),

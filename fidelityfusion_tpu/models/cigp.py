@@ -48,6 +48,13 @@ class CIGP:
     # pass hybrid_nll=False explicitly.
     hybrid_nll: bool = True
     hybrid_min_n: int = 512
+    # Analytic-gradient SE NLML (ops/fused_se.py): for the scalar SE
+    # kernel at n >= hybrid_min_n, the three hyperparameter gradients have
+    # closed forms needing ONE extra GEMM instead of the hybrid path's
+    # K^{-1} materialization + n^2 cotangent chain (1.6x faster steps at
+    # n=4096 on v5e).  NB: the x cotangent is zero by design — training
+    # losses never differentiate nll wrt inputs.
+    se_analytic_nll: bool = True
 
     def init_params(self, input_dim: int, log_beta: float = 1.0):
         return {
@@ -84,6 +91,21 @@ class CIGP:
         NB: the reference returns the *negated* NLL and train loops negate
         again; here nll is the loss directly.
         """
+        if (
+            self.se_analytic_nll
+            and self.hybrid_nll
+            and not self.blocked_nll
+            and mask is None
+            and y_var is None
+            and not self.relative_jitter
+            and x.shape[0] >= self.hybrid_min_n
+            and type(self.kernel).__name__ == "SquaredExponentialKernel"
+            and "log_beta" in params
+        ):
+            from fidelityfusion_tpu.ops.fused_se import se_nlml
+
+            y2 = y if y.ndim == 2 else y[:, None]
+            return se_nlml(params, x, y2, self.jitter)
         Sigma = self._sigma(params, x, y_var, mask)
         if self.blocked_nll:
             from fidelityfusion_tpu.ops.blocked import mvn_nll_blocked

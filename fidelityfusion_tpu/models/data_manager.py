@@ -58,6 +58,33 @@ class Normalizer:
         return mean, var
 
 
+def pair_rows(x1: np.ndarray, x2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Index arrays (idx1, idx2) pairing each row of x2 that exactly
+    appears in x1 with the FIRST matching row of x1, in x2's row order.
+
+    This is the alignment `get_overlap_input_data` needs: selecting the
+    two sides with independent boolean masks (the reference's approach,
+    `MF_data.py:196-205`) silently mispairs y1 with y2 whenever the
+    high-fidelity design is not an order-preserving subset of the
+    low-fidelity one (permuted subsets), and produces mismatched row
+    COUNTS once duplicate designs exist (a BO loop re-querying an x).
+    """
+    x1 = np.ascontiguousarray(np.asarray(x1, np.float64))
+    x2 = np.ascontiguousarray(np.asarray(x2, np.float64))
+    if x1.size == 0 or x2.size == 0:
+        return np.zeros(0, np.intp), np.zeros(0, np.intp)
+    first = {}
+    for i, row in enumerate(x1):
+        first.setdefault(row.tobytes(), i)
+    idx1, idx2 = [], []
+    for j, row in enumerate(x2):
+        i = first.get(row.tobytes())
+        if i is not None:
+            idx1.append(i)
+            idx2.append(j)
+    return np.asarray(idx1, np.intp), np.asarray(idx2, np.intp)
+
+
 def match_rows(x1: np.ndarray, x2: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Boolean masks of rows of x1 present in x2 and vice versa.
 
@@ -156,9 +183,13 @@ class MultiFidelityDataManager:
         x2, y2 = self.get_data(fidelity_index2, normal=False)
         if x1 is None or x2 is None:
             return None, None, None, None
-        m1, m2 = match_rows(x1, x2)
-        cx1, cy1 = x1[m1], y1[m1]
-        cx2, cy2 = x2[m2], y2[m2]
+        # PAIRED selection in fidelity-2 row order: row i of (cx1, cy1)
+        # is the fidelity-1 observation at the same x as row i of
+        # (cx2, cy2) — mask-based selection (the reference's) mispairs
+        # permuted subsets and breaks on duplicate designs (see pair_rows)
+        idx1, idx2 = pair_rows(x1, x2)
+        cx1, cy1 = x1[idx1], y1[idx1]
+        cx2, cy2 = x2[idx2], y2[idx2]
         if (
             normal
             and fidelity_index1 in self.normalizelayer
@@ -231,7 +262,11 @@ class MultiFidelityDataManager:
             return mean, var_diag
 
         if len(sx2) == 0:  # full non-subset
-            fill_mean, fill_var = _fill(ux2_raw, uy2)
+            # template = LOW-fidelity per-sample shape (the imputed values
+            # live on fidelity_index1's output grid, which differs from
+            # uy2's grid for non-aligned tensor fields)
+            _, y1_all = self.get_data(fidelity_index1)
+            fill_mean, fill_var = _fill(ux2_raw, np.asarray(y1_all))
             y_high_var = np.zeros(len(uy2))
             return (
                 ux2,

@@ -9,10 +9,18 @@ joint loss
 
 is minimized with one Adam over the full parameter pytree — rho/b and all
 kernels co-adapt (the legacy `compute_loss` accumulation,
-`MFGP_ver2023May/AR_AutoRegression.py:206-255`).  Subset-structured data
-only: stage datasets are built once outside jit (the legacy non-subset
-path re-imputes inside the epoch loop via `self.forward`, which cannot be
-a static jit graph; use the staged trainers for non-subset data).
+`MFGP_ver2023May/AR_AutoRegression.py:206-255`).
+
+Non-subset data: the legacy contract re-imputes missing low-fidelity y
+inside the epoch loop via `self.forward`
+(`MFGP_ver2023May/AR_AutoRegression.py:180-203`), which cannot be one
+static jit graph.  The TPU-native equivalent is STAGED IMPUTATION
+(`train_joint_nonsubset`): training is split into a few rounds; before
+each round the missing y_low are imputed with the current cascade (a
+jitted predict at fixed shapes), then one compiled joint-Adam scan runs
+on the rebuilt fixed-shape stage arrays.  Shapes never change across
+rounds, so the round program compiles ONCE and is reused (the
+frozen-dataclass loss + loss_args cached path of `train/fit.py`).
 
 Works for AR, ResGP, NAR, and CAR models from `models/`; after training
 the stage residual datasets are registered exactly as the staged trainers
@@ -21,11 +29,15 @@ do, so `model.forward` works unchanged.
 
 from __future__ import annotations
 
+import dataclasses
+import math
+
 import jax.numpy as jnp
 import numpy as np
 
 from fidelityfusion_tpu.models.ar import AR, _residual_norm
 from fidelityfusion_tpu.models.car import ContinuousAutoRegression
+from fidelityfusion_tpu.models.cigp import CIGP
 from fidelityfusion_tpu.models.nar import NAR
 from fidelityfusion_tpu.models.resgp import ResGP
 from fidelityfusion_tpu.train.fit import fit
@@ -52,13 +64,24 @@ def train_joint(
     data_manager,
     max_iter: int = 200,
     lr_init: float = 1e-2,
+    rounds: int = 4,
 ) -> jnp.ndarray:
-    """Jointly train an AR / ResGP / NAR / CAR model (subset data).
+    """Jointly train an AR / ResGP / NAR / CAR model.
+
+    Subset data: one compiled joint-Adam scan over all stage losses.
+    Non-subset data (``model.if_nonsubset``): dispatches to
+    `train_joint_nonsubset` (staged imputation; ``rounds`` controls the
+    re-imputation cadence).
 
     Returns the loss history.  Residual/concat datasets and stage norms are
     registered afterwards from the final parameters so the prediction
     cascade behaves identically to staged training.
     """
+    if getattr(model, "if_nonsubset", False):
+        return train_joint_nonsubset(
+            model, data_manager, max_iter=max_iter, lr_init=lr_init,
+            rounds=rounds,
+        )
     stages = _stage_data(model, data_manager)
 
     if isinstance(model, AR):
@@ -156,3 +179,162 @@ def train_joint(
         return result.losses
 
     raise TypeError(f"joint training not supported for {type(model).__name__}")
+
+
+# --------------------------------------------------------------------------
+# Non-subset joint training: staged imputation
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _JointRhoLoss:
+    """Joint NLML over all stages of a rho-residual cascade (AR; ResGP via
+    ``trainable_rho=False`` with rho fixed at 1).  Imputed low-fidelity
+    targets carry variances, entering the stage covariance diagonal like
+    the staged `_ResidualVarLoss` (`models/ar.py`).  Frozen dataclass =>
+    equal specs share one compiled joint-Adam program across rounds."""
+
+    gps: tuple  # per-stage CIGP specs
+    norms: tuple  # per-stage (shift, scale) floats
+    trainable_rho: bool
+
+    def __call__(self, p, x0, y0, *stage_arrays):
+        total = self.gps[0].nll(p["gp"][0], x0, y0)
+        for i in range(1, len(self.gps)):
+            sx, yl_m, yl_v, yh_m, yh_v = stage_arrays[5 * (i - 1): 5 * i]
+            rho = p["rho"][i - 1] if self.trainable_rho else 1.0
+            shift, scale = self.norms[i]
+            res = (yh_m - rho * yl_m - shift) / scale
+            res_var = jnp.abs(yh_v - rho * yl_v) / scale**2
+            total = total + self.gps[i].nll(p["gp"][i], sx, res, y_var=res_var)
+        return total
+
+
+@dataclasses.dataclass(frozen=True)
+class _JointNARLoss:
+    """Joint NLML over a NAR cascade: stage i's GP input is the
+    concatenation ``[x, y_low(x)]`` with imputed y_low where unobserved."""
+
+    gps: tuple
+
+    def __call__(self, p, x0, y0, *stage_arrays):
+        total = self.gps[0].nll(p["gp"][0], x0, y0)
+        for i in range(1, len(self.gps)):
+            sx, yl_m, yl_v, yh_m, yh_v = stage_arrays[5 * (i - 1): 5 * i]
+            cx = jnp.concatenate([sx, yl_m.reshape(sx.shape[0], -1)], axis=-1)
+            total = total + self.gps[i].nll(
+                p["gp"][i], cx, yh_m, y_var=yh_v + jnp.sum(yl_v) * 0.0
+            )
+        return total
+
+
+def _joint_rho(model):
+    """(trainable_rho, rho_values) for the rho-residual cascade models."""
+    if isinstance(model, AR):
+        return True, model.params["rho"]
+    return False, [jnp.float32(1.0)] * (model.fidelity_num - 1)
+
+
+def _register_stage_datasets(model, dm, stage_arrays):
+    """(Re-)register the res-i / concat-i datasets from the CURRENT params
+    so `model.forward` (and hence the next round's imputation) reflects
+    them.  add_data appends on re-add, so stale entries are dropped first."""
+    is_nar = isinstance(model, NAR)
+    _, rhos = _joint_rho(model)
+    for i in range(1, len(stage_arrays) // 5 + 1):
+        sx, yl_m, yl_v, yh_m, yh_v = stage_arrays[5 * (i - 1): 5 * i]
+        if is_nar:
+            cx = np.concatenate(
+                [np.asarray(sx), np.asarray(yl_m).reshape(len(sx), -1)], axis=-1
+            )
+            dm.data_dict.pop(f"concat-{i}", None)
+            dm.add_data(f"concat-{i}", None, cx, [np.asarray(yh_m), None])
+        else:
+            rho = (
+                model.params["rho"][i - 1] if isinstance(model, AR) else rhos[i - 1]
+            )
+            shift, scale = model.stage_norm[i]
+            res = np.asarray((yh_m - rho * yl_m - shift) / scale)
+            res_var = np.asarray(jnp.abs(yh_v - rho * yl_v) / scale**2)
+            dm.data_dict.pop(f"res-{i}", None)
+            dm.add_data(f"res-{i}", None, np.asarray(sx), [res, res_var])
+
+
+def train_joint_nonsubset(
+    model,
+    data_manager,
+    max_iter: int = 200,
+    lr_init: float = 1e-2,
+    rounds: int = 4,
+) -> jnp.ndarray:
+    """Joint training on NON-SUBSET data via staged imputation.
+
+    The legacy contract imputes missing low-fidelity y inside every epoch
+    via `self.forward` (`MFGP_ver2023May/AR_AutoRegression.py:180-203`).
+    Here the imputation runs BETWEEN rounds: each round re-imputes with the
+    current cascade (`get_nonsubset_fill_data`, a jitted predict) and then
+    runs ``max_iter / rounds`` joint-Adam steps on fixed-shape stage
+    arrays — the compiled program is reused across rounds.
+
+    Supports AR, ResGP, NAR.  (The CAR joint formulation is the dedicated
+    `CARLarge` model, `models/car.py`.)
+
+    Returns the concatenated loss history (length ~= max_iter).
+    """
+    if isinstance(model, ContinuousAutoRegression):
+        raise TypeError(
+            "non-subset joint CAR: use CARLarge (the joint ContinuAR "
+            "formulation, models/car.py) instead"
+        )
+    if not isinstance(model, (AR, ResGP, NAR)):
+        raise TypeError(
+            f"non-subset joint training not supported for {type(model).__name__}"
+        )
+    steps_per_round = max(1, math.ceil(max_iter / rounds))
+    x0, y0 = data_manager.get_data(0, normal=True)
+    x0 = jnp.asarray(x0, jnp.float32)
+    y0 = jnp.asarray(y0, jnp.float32)
+
+    trainable_rho, rhos = _joint_rho(model)
+    all_losses = []
+    norms = None
+    for r in range(rounds):
+        # ---- impute + rebuild stage arrays (fixed shapes across rounds)
+        stage_arrays = []
+        for i in range(1, model.fidelity_num):
+            sx, y_low_p, y_high_p = data_manager.get_nonsubset_fill_data(
+                model, i - 1, i
+            )
+            sx = jnp.asarray(sx, jnp.float32)
+            yl_m = jnp.asarray(y_low_p[0], jnp.float32)
+            yl_v = jnp.asarray(y_low_p[1], jnp.float32)
+            yh_m = jnp.asarray(y_high_p[0], jnp.float32)
+            yh_v = jnp.asarray(y_high_p[1], jnp.float32)
+            if norms is None and not isinstance(model, NAR):
+                # stage norms fixed at round 0 so the loss spec (and the
+                # compiled program) is identical across rounds
+                model.stage_norm[i] = _residual_norm(yh_m - rhos[i - 1] * yl_m)
+            stage_arrays.extend([sx, yl_m, yl_v, yh_m, yh_v])
+            # register res/concat-i NOW so fidelity i+1's imputation cascade
+            # (and the next round's) sees this stage's current data
+            _register_stage_datasets(model, data_manager, stage_arrays)
+        if norms is None:
+            norms = tuple(
+                (float(s), float(c))
+                for s, c in getattr(
+                    model, "stage_norm", [(0.0, 1.0)] * model.fidelity_num
+                )
+            )
+
+        if isinstance(model, NAR):
+            loss_fn = _JointNARLoss(tuple(model.gp_list))
+        else:
+            loss_fn = _JointRhoLoss(tuple(model.gp_list), norms, trainable_rho)
+        result = fit(
+            loss_fn, model.params, steps=steps_per_round, lr=lr_init,
+            loss_args=(x0, y0, *stage_arrays),
+        )
+        model.params = result.params
+        all_losses.append(result.losses)
+        _register_stage_datasets(model, data_manager, stage_arrays)
+    return jnp.concatenate(all_losses)

@@ -83,25 +83,46 @@ def _leaf_chol_inv_xla(D: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return Ld, Wd
 
 
+PRECISIONS = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
+
+def _mm(a, b, precision):
+    return jnp.matmul(a, b, precision=PRECISIONS[precision])
+
+
 def _tri_inv_assemble(
-    L: jnp.ndarray, diag_invs: List[jnp.ndarray], block: int
+    L: jnp.ndarray, diag_invs: List[jnp.ndarray], block: int,
+    precision: str = "high",
 ) -> jnp.ndarray:
-    """inv(L) from its per-block diagonal inverses, divide-and-conquer."""
+    """inv(L) from its per-block diagonal inverses, divide-and-conquer.
+
+    GEMM precision matters on TPU: the MXU default rounds inputs to
+    bfloat16 (measured 145 TFLOP/s vs 59 at bf16x3 "high" / 31 at f32
+    "highest" for n=4096), and bf16 inverse-assembly visibly corrupts
+    W = inv(L) for ill-conditioned GP Grams (NaN factorizations on real
+    SE Grams) — precision is a caller-visible knob defaulting to "high"
+    (bf16x3: accuracy within 2x of full f32 at 2x the speed; on-chip
+    matrix in BASELINE.md "TPU matmul precision")."""
     nb = len(diag_invs)
     if nb == 1:
         return diag_invs[0]
     hb = nb // 2
     h = hb * block
-    W1 = _tri_inv_assemble(L[:h, :h], diag_invs[:hb], block)
-    W2 = _tri_inv_assemble(L[h:, h:], diag_invs[hb:], block)
-    W21 = -(W2 @ (L[h:, :h] @ W1))
+    W1 = _tri_inv_assemble(L[:h, :h], diag_invs[:hb], block, precision)
+    W2 = _tri_inv_assemble(L[h:, h:], diag_invs[hb:], block, precision)
+    W21 = -_mm(W2, _mm(L[h:, :h], W1, precision), precision)
     z = jnp.zeros((h, L.shape[-1] - h), dtype=L.dtype)
     return jnp.block([[W1, z], [W21, W2]])
 
 
-@partial(jax.jit, static_argnames=("block", "leaf"))
+@partial(jax.jit, static_argnames=("block", "leaf", "precision"))
 def blocked_chol_inv(
-    A: jnp.ndarray, block: int = 64, leaf: str = "fused"
+    A: jnp.ndarray, block: int = 64, leaf: str = "fused",
+    precision: str = "high",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lower Cholesky factor L of SPD ``A`` and W = inv(L).
 
@@ -135,7 +156,8 @@ def blocked_chol_inv(
         Wd = jax.vmap(
             lambda Ld: jax.scipy.linalg.solve_triangular(Ld, eye, lower=True)
         )(dblocks)
-        W = _tri_inv_assemble(L, [Wd[k] for k in range(nb)], block)
+        W = _tri_inv_assemble(L, [Wd[k] for k in range(nb)], block,
+                              precision)
         return L, W
     leaf_fn = _leaf_chol_inv if leaf == "fused" else _leaf_chol_inv_xla
     L = jnp.zeros_like(A)
@@ -148,10 +170,10 @@ def blocked_chol_inv(
         diag_invs.append(Wd)
         L = L.at[s:e, s:e].set(Ld)
         if e < n:
-            L21 = A_work[e:, s:e] @ Wd.T
+            L21 = _mm(A_work[e:, s:e], Wd.T, precision)
             L = L.at[e:, s:e].set(L21)
-            A_work = A_work.at[e:, e:].add(-(L21 @ L21.T))
-    W = _tri_inv_assemble(L, diag_invs, block)
+            A_work = A_work.at[e:, e:].add(-_mm(L21, L21.T, precision))
+    W = _tri_inv_assemble(L, diag_invs, block, precision)
     return L, W
 
 
@@ -163,7 +185,7 @@ def blocked_cholesky(A: jnp.ndarray, block: int = 64) -> jnp.ndarray:
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _nll_blocked_core(Sigma, y, block, leaf):
     L, W = blocked_chol_inv(Sigma, block=block, leaf=leaf)
-    gamma = W @ y
+    gamma = _mm(W, y, "highest")
     d = y.shape[1]
     n = y.shape[0]
     return (
@@ -175,7 +197,7 @@ def _nll_blocked_core(Sigma, y, block, leaf):
 
 def _nll_blocked_fwd(Sigma, y, block, leaf):
     L, W = blocked_chol_inv(Sigma, block=block, leaf=leaf)
-    gamma = W @ y
+    gamma = _mm(W, y, "highest")
     d = y.shape[1]
     n = y.shape[0]
     val = (
@@ -189,8 +211,8 @@ def _nll_blocked_fwd(Sigma, y, block, leaf):
 def _nll_blocked_bwd(block, leaf, res, g):
     W, gamma = res
     d = gamma.shape[1]
-    alpha = W.T @ gamma
-    Kinv = W.T @ W
+    alpha = _mm(W.T, gamma, "highest")
+    Kinv = _mm(W.T, W, "highest")
     dSigma = g * 0.5 * (d * Kinv - alpha @ alpha.T)
     return dSigma, g * alpha
 
@@ -199,14 +221,51 @@ _nll_blocked_core.defvjp(_nll_blocked_fwd, _nll_blocked_bwd)
 
 
 def hybrid_block(n: int) -> int:
-    """Block policy for the single-matrix hybrid path (live v5e, 2026-08-19):
-    NLML+grad+Adam steps vs the fused-VJP path — n=512: 0.166 vs 0.181 ms,
-    n=1024: 0.370 vs 0.462, n=2048: 1.187 vs 1.719, n=4096: 6.66 (block
-    512; 8.15 at 256, 7.70 at 1024) vs 11.88.  256 to 2048 rows, 512 above."""
-    return 256 if n <= 2048 else 512
+    """Block policy for the single-matrix hybrid path (live v5e; updated
+    2026-08-19 round 2): full NLML+grad+Adam steps at n=4096 measured
+    8.19 ms (block 256), 6.81 (512), **4.50 (1024)** — the larger diagonal
+    blocks trade a slightly slower isolated tri_inv for far fewer
+    assembly levels inside the fused step graph.  n=512-2048 keep 256
+    (n=512: 0.166 ms, n=1024: 0.370, n=2048: 1.187 vs fused-VJP 0.181 /
+    0.462 / 1.719)."""
+    return 256 if n <= 2048 else 1024
 
 
-def tri_inv_gemm(L: jnp.ndarray, block: int = 0) -> jnp.ndarray:
+def chol_inv_padded(Sigma: jnp.ndarray, block: int = 0,
+                    precision: str = "high", factor: str = "blocked"):
+    """One-pass (L, W = inv(L)) for a SINGLE SPD matrix via the blocked
+    right-looking factorization with XLA leaves (`blocked_chol_inv`,
+    leaf='xla'), identity-padded to a block multiple and cropped.
+
+    Live v5e, n=4096 f32: **1.48 ms** (block 512) for BOTH L and W vs
+    3.15 ms for XLA `cholesky` + `tri_inv_gemm` — producing W during the
+    factorization reuses the per-block inverses the panel solves need
+    anyway, so the separate O(n^3) inverse pass disappears.  (block 1024:
+    3.55 ms, 2048: 2.36 — fewer/larger XLA leaf factorizations lose.)
+    """
+    n = Sigma.shape[-1]
+    if factor == "xla":
+        # exact f32 factorization (XLA's internal chol), GEMM-assembled
+        # inverse at the requested precision
+        L = jnp.linalg.cholesky(Sigma)
+        return L, tri_inv_gemm(L, block=block, precision=precision)
+    if not block:
+        block = 512 if n >= 512 else 64
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        extra = n_pad - n
+        Sigma = jnp.pad(Sigma, ((0, extra), (0, extra)))
+        Sigma = Sigma + jnp.diag(
+            jnp.pad(jnp.zeros((n,), Sigma.dtype), (0, extra),
+                    constant_values=1.0)
+        )
+    L, W = blocked_chol_inv(Sigma, block=block, leaf="xla",
+                            precision=precision)
+    return L[:n, :n], W[:n, :n]
+
+
+def tri_inv_gemm(L: jnp.ndarray, block: int = 0,
+                 precision: str = "high") -> jnp.ndarray:
     """W = inv(L) for lower-triangular ``L`` via batched diagonal-block
     inverses + divide-and-conquer GEMM assembly — no O(n^3) triangular
     solve anywhere (on v5e trsm runs ~13 TFLOP/s vs ~155 for GEMM).
@@ -234,12 +293,12 @@ def tri_inv_gemm(L: jnp.ndarray, block: int = 0) -> jnp.ndarray:
     Wd = jax.vmap(
         lambda Ld: jax.scipy.linalg.solve_triangular(Ld, eye, lower=True)
     )(dblocks)
-    W = _tri_inv_assemble(L, [Wd[k] for k in range(nb)], block)
+    W = _tri_inv_assemble(L, [Wd[k] for k in range(nb)], block, precision)
     return W[:n, :n]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def mvn_nll_hybrid(Sigma, y, block=0):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def mvn_nll_hybrid(Sigma, y, block=0, precision="high"):
     """NLML of y ~ N(0, Sigma) — XLA cholesky + GEMM-only solves/VJP.
 
     The large-n SINGLE-matrix counterpart of `mvn_nll_blocked` (which is
@@ -251,16 +310,17 @@ def mvn_nll_hybrid(Sigma, y, block=0):
     `hybrid_block`).  Same value/grad contract as `linalg.mvn_nll_fused`;
     `models/cigp.py` selects it automatically at n >= 512.
     """
-    val, _ = _nll_hybrid_fwd(Sigma, y, block)
+    val, _ = _nll_hybrid_fwd(Sigma, y, block, precision)
     return val
 
 
-def _nll_hybrid_fwd(Sigma, y, block):
+def _nll_hybrid_fwd(Sigma, y, block, precision):
     # y must be [n, d] (a 1-D y would make the bwd cotangent shape wrong)
     n, d = y.shape
-    L = jnp.linalg.cholesky(Sigma)
-    W = tri_inv_gemm(L, block=block)
-    gamma = W @ y
+    # exact f32 factorization + GEMM-assembled inverse at ``precision``
+    L, W = chol_inv_padded(Sigma, block=512 if not block else block,
+                           precision=precision, factor="xla")
+    gamma = _mm(W, y, "highest")
     val = (
         0.5 * jnp.sum(gamma**2)
         + d * jnp.sum(jnp.log(jnp.diagonal(L)))
@@ -269,11 +329,14 @@ def _nll_hybrid_fwd(Sigma, y, block):
     return val, (W, gamma)
 
 
-def _nll_hybrid_bwd(block, res, g):
+def _nll_hybrid_bwd(block, precision, res, g):
     W, gamma = res
     d = gamma.shape[1]
-    alpha = W.T @ gamma
-    Kinv = W.T @ W
+    alpha = _mm(W.T, gamma, "highest")
+    # gradient-only GEMM at the fast default precision: the bf16-induced
+    # ~1-2% relative gradient noise does not change training outcomes
+    # (on-chip convergence check, BASELINE.md "TPU matmul precision")
+    Kinv = _mm(W.T, W, "default")
     dSigma = g * 0.5 * (d * Kinv - alpha @ alpha.T)
     return dSigma, g * alpha
 

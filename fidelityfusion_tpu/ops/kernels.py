@@ -35,10 +35,19 @@ def sq_dist(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """Pairwise squared Euclidean distances via one MXU matmul.
 
     ``x1: (n1, d), x2: (n2, d) -> (n1, n2)``, clamped at zero.
+
+    The cross term MUST run at full f32 matmul precision: the TPU MXU
+    default rounds inputs to bfloat16, and the quadratic expansion
+    ``|x|^2 + |x'|^2 - 2 x.x'`` cancels catastrophically — for |x| ~ 20
+    a bf16-rounded cross term puts O(1) absolute errors on O(1) squared
+    distances, visibly corrupting every Gram (and making ill-conditioned
+    Sigmas indefinite).  d is small for GP inputs, so full precision here
+    is free (n^2 d flops).
     """
     n1 = jnp.sum(x1 * x1, axis=-1)[:, None]
     n2 = jnp.sum(x2 * x2, axis=-1)[None, :]
-    cross = jnp.dot(x1, x2.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(x1, x2.T, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
     return jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
 
 
@@ -219,8 +228,11 @@ class LinearKernel(Kernel):
         c = params["center"]
         z1 = (x1 - c) / ls
         z2 = (x2 - c) / ls
+        # full precision: bf16-rounded inputs put O(4e-3) relative errors
+        # directly on the kernel values (see sq_dist)
         return jnp.abs(params["signal_variance"][0]) * jnp.dot(
-            z1, z2.T, preferred_element_type=jnp.float32
+            z1, z2.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )
 
 

@@ -1,0 +1,274 @@
+"""MFBO-discrete head-to-head: reference protocol on both frameworks.
+
+Protocol (`/root/reference/Experiments/MFBO_discrete/MF_BO_discrete.py:33-178`):
+Forrester 2-fidelity, init {fid1: 10, fid2: 4}, 10 BO iterations, AR
+surrogate retrained from scratch each iteration (reference setting:
+max_iter=20, lr=0.01), power-10 fidelity cost; record cumulative cost and
+the running max of observed top-fidelity y (the incumbent) per iteration.
+
+Reference-side runnability (documented, each item verified by running it):
+  * The script's own imports are stale (`Acquisition_Function.*`,
+    `MF_BO_discrete.py:23`) and its model constructors pass kwargs the
+    models don't accept (`kernel=`, `l_shape=`) — the driver reconstructs
+    the working behavior per SURVEY.md §2.6 ("layout drift").
+  * The v1 strategies call the posterior with 1-BASED fidelity indices
+    (`v1/MF_UCB.py:31-32`) while the current-stack `AR.forward` treats
+    `to_fidelity` as 0-based (`AR_autoRegression.py:70-82`: s=2 on a
+    2-fidelity model raises KeyError 'res-2') — adapted with a 1-based ->
+    0-based wrapper.
+  * UCB runs with only that adapter.
+  * cfKG additionally crashes on `model_objective_new.train(xtr_new,
+    ytr_new)` (nn.Module.train takes a bool; `v1/CFKG.py:70`) and
+    `.predict(...)` (no such method, `:73`) — both guarded.  Its shipped
+    candidate loop also scores a FIXED candidate while selecting varying
+    ones (`tem` computed outside the loop with a stale index,
+    `v1/CFKG.py:124-130`) — kept verbatim, it does not crash.
+  * ES needs emukit (absent from this image); EI calls the posterior as
+    `pre_func(new_x, fidelity)` without the data manager (`v1/MF_EI.py:65`)
+    — both recorded as unrunnable-as-shipped.
+
+Ours runs UCB / EI / ES / cfKG via `bo/loop.py:mf_bo_discrete` at its
+shipping defaults.  Writes exp_results/mfbo_headtohead/*.csv and prints a
+BASELINE.md-ready summary.
+"""
+
+import csv
+import os
+import sys
+import time
+import types
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import torch
+
+sys.path.append(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_reference():
+    from ref_gar_headtohead import _install_tensorly_stub
+
+    _install_tensorly_stub()
+    sys.path.insert(0, "/root/reference")
+
+    def load_module(name, path, patches):
+        src = open(path).read()
+        for old, new in patches:
+            assert old in src, (path, old)
+            src = src.replace(old, new)
+        mod = types.ModuleType(name)
+        mod.__file__ = path
+        sys.modules[name] = mod
+        exec(compile(src, path, "exec"), mod.__dict__)
+        return mod
+
+    ar = load_module(
+        "ref_ar", "/root/reference/FidelityFusion_Models/AR_autoRegression.py",
+        [(
+            "y=[y_residual_mean.detach(), y_residual_var.detach()])",
+            "y=[y_residual_mean.detach(), y_residual_var.detach() "
+            "if y_residual_var is not None else None])",
+        )],
+    )
+    ucb = load_module(
+        "ref_ucb", "/root/reference/MF_BayesianOptimization/Discrete/v1/MF_UCB.py",
+        [],
+    )
+    cfkg = load_module(
+        "ref_cfkg", "/root/reference/MF_BayesianOptimization/Discrete/v1/CFKG.py",
+        [
+            ("self.model_objective_new.train(xtr_new, ytr_new)",
+             "pass  # guarded: nn.Module.train(bool); shipped call crashes"),
+            # shadow retrain on the OUTER data manager crashes: train_AR
+            # re-adds 'res-1' whose Y is a [mean, var] list and add_data's
+            # append branch torch.cat's the list (`MF_data.py:128-132`);
+            # a working retrain needs a fresh manager (injected by the
+            # driver as `make_fresh_dm`)
+            ("self.train_function_new(self.model_objective_new, "
+             "self.data_manager, max_iter=10, lr_init=0.01),",
+             "_dm = self.make_fresh_dm()\n"
+             "        self.train_function_new(self.model_objective_new, "
+             "_dm, max_iter=10, lr_init=0.01)"),
+            ("self.model_objective_new.predict(self.data_manager, xall, "
+             "self.total_fid_num)",
+             "self.model_objective_new.forward(_dm, xall, "
+             "self.total_fid_num - 1)"),
+            # f64 candidate grid vs f32 kernel params (same dtype drift as
+            # the initial data, `CFKG.py:47`)
+            ("xall = torch.rand(100, 1).double()",
+             "xall = torch.rand(100, 1).float()"),
+        ],
+    )
+    import GaussianProcess.kernel as ref_kernel
+    from FidelityFusion_Models.MF_data import (
+        MultiFidelityDataManager as RefDM,
+    )
+
+    # Forrester.py assumes the repo dir is named 'FidelityFusion'
+    # (`Forrester.py:7-12` path surgery) — neutralize the sys.path hack
+    fmod = load_module(
+        "ref_forrester",
+        "/root/reference/Data_simulation/Synthetic_MF_Function/Forrester.py",
+        [(
+            "realpath = _sep.join(realpath[:realpath.index('FidelityFusion') + 1])",
+            "realpath = _sep.join(realpath[:-1])",
+        )],
+    )
+
+    return ar, ucb, cfkg, ref_kernel, RefDM, fmod.forrester
+
+
+def model_cost(ys):
+    """Cumulative power-10 cost: sum_fid 10^(fid+1) * n_fid — identical
+    accounting applied to BOTH frameworks' datasets."""
+    return float(sum(10.0 ** (i + 1) * len(y) for i, y in enumerate(ys)))
+
+
+def run_reference(acq_name, seed, bo_iterations=10, mf_iters=20, lr=1e-2):
+    ar, ucb, cfkg, ref_kernel, RefDM, forrester = _load_reference()
+    torch.manual_seed(seed)
+    data = forrester(2)
+    xtr, ytr = data.Initiate_data({1: 10, 2: 4}, seed)
+    # Initiate_data returns f64 (`Forrester.py:63-65`) while the kernels'
+    # parameters are f32 — the shipped pipeline's dtype drift; run in f32
+    xtr = [a.float() for a in xtr]
+    ytr = [a.float() for a in ytr]
+    rows = [(model_cost(ytr), float(torch.max(ytr[1])))]
+    for i in range(bo_iterations):
+        t0 = time.time()
+        dm = RefDM([
+            {"fidelity_indicator": 0, "raw_fidelity_name": "0",
+             "X": xtr[0], "Y": ytr[0]},
+            {"fidelity_indicator": 1, "raw_fidelity_name": "1",
+             "X": xtr[1], "Y": ytr[1]},
+        ])
+        model = ar.AR(
+            fidelity_num=2,
+            kernel_list=[ref_kernel.SquaredExponentialKernel()
+                         for _ in range(2)],
+            rho_init=1.0, if_nonsubset=True,
+        )
+        ar.train_AR(model, dm, max_iter=mf_iters, lr_init=lr)
+
+        def posterior(dmgr, x, s):
+            # v1 strategies pass 1-based fidelity; AR.forward is 0-based.
+            # Mean flattened to (n,): UCB adds `beta * diag(var)` (a (n,)
+            # vector) to the mean (`v1/MF_UCB.py:33-34`) — with the model's
+            # (n,1) mean that broadcast silently builds an (n,n) score
+            # matrix and argmax goes out of range.
+            m, v = model.forward(dmgr, x.float(), to_fidelity=int(s) - 1)
+            return m.reshape(-1), v
+
+        if acq_name == "UCB":
+            strat = ucb.upper_confidence_bound(
+                x_dimension=1, fidelity_num=2, data_manager=dm,
+                posterior_function=posterior, model_cost=data.cost,
+                seed=(seed + 1234 + i, i),
+            )
+            new_x, new_s = strat.compute_next()
+        elif acq_name == "cfKG":
+            shadow = ar.AR(
+                fidelity_num=2,
+                kernel_list=[ref_kernel.SquaredExponentialKernel()
+                             for _ in range(2)],
+                rho_init=1.0, if_nonsubset=True,
+            )
+            strat = cfkg.discrete_fidelity_knowledgement_gradient(
+                posterior_function=posterior, model_objective_new=shadow,
+                train_function_new=ar.train_AR, data_model=data,
+                data_manager=dm, model_cost=data.cost,
+                total_fidelity_num=2, seed=seed + i + 1234,
+            )
+            strat.make_fresh_dm = lambda: RefDM([
+                {"fidelity_indicator": 0, "raw_fidelity_name": "0",
+                 "X": xtr[0], "Y": ytr[0]},
+                {"fidelity_indicator": 1, "raw_fidelity_name": "1",
+                 "X": xtr[1], "Y": ytr[1]},
+            ])
+            new_x, new_s = strat.compute_next(xtr, ytr)
+            new_s = int(np.asarray(new_s).reshape(-1)[0])
+        else:
+            raise ValueError(acq_name)
+        new_x = torch.as_tensor(np.asarray(new_x), dtype=torch.float32
+                                ).reshape(1, 1)
+        new_y = data.get_data(new_x, int(new_s)).float()
+        f = int(new_s) - 1
+        xtr[f] = torch.cat((xtr[f], new_x), axis=0)
+        ytr[f] = torch.cat((ytr[f], new_y), axis=0)
+        rows.append((model_cost(ytr), float(torch.max(ytr[1]))))
+        print(f"ref {acq_name} seed{seed} it{i}: s={int(new_s)} "
+              f"inc={rows[-1][1]:.4f} cost={rows[-1][0]:.0f} "
+              f"({time.time()-t0:.1f}s)", flush=True)
+    return rows
+
+
+def run_ours(acq_name, seed, bo_iterations=10):
+    from fidelityfusion_tpu.bo.loop import mf_bo_discrete
+    from fidelityfusion_tpu.data.objectives import Forrester
+
+    rec = mf_bo_discrete(
+        Forrester(2), method=acq_name, bo_iterations=bo_iterations,
+        init_index={1: 10, 2: 4}, seed=seed,
+    )
+    # recompute cost with the shared accounting from the recorded queries
+    ns = [10, 4]
+    rows = []
+    inc = rec["incumbents"]
+    # rebuild per-iteration dataset sizes from the fidelity trace
+    sizes = [10, 4]
+    rows.append((model_cost([np.zeros(sizes[0]), np.zeros(sizes[1])]),
+                 inc[0]))
+    for i, s in enumerate(rec["S"]):
+        sizes[int(s)] += 1
+        rows.append((model_cost([np.zeros(sizes[0]), np.zeros(sizes[1])]),
+                     inc[min(i + 1, len(inc) - 1)]))
+    return rows
+
+
+def main():
+    outdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "exp_results", "mfbo_headtohead")
+    os.makedirs(outdir, exist_ok=True)
+    seeds = [int(s) for s in os.environ.get("SEEDS", "0,1,2,3,4").split(",")]
+    final = {}
+    for framework, acqs, runner in (
+        ("reference", ("UCB", "cfKG"), run_reference),
+        ("ours", ("UCB", "EI", "ES", "cfKG"), run_ours),
+    ):
+        for acq in acqs:
+            for seed in seeds:
+                try:
+                    rows = runner(acq, seed)
+                except Exception as e:
+                    print(f"FAIL {framework} {acq} seed{seed}: {e!r}",
+                          flush=True)
+                    continue
+                with open(os.path.join(
+                        outdir, f"{framework}_{acq}_seed_{seed}.csv"),
+                        "w", newline="") as f:
+                    w = csv.writer(f)
+                    w.writerow(["iteration", "cost", "incumbent"])
+                    for it, (c, v) in enumerate(rows):
+                        w.writerow([it, c, v])
+                final.setdefault((framework, acq), []).append(rows[-1])
+                print(f"{framework} {acq} seed{seed}: final inc "
+                      f"{rows[-1][1]:.4f} @ cost {rows[-1][0]:.0f}",
+                      flush=True)
+
+    print("\n### Summary (mean final incumbent / mean final cost)\n")
+    print("| framework | acq | final incumbent | final cost |")
+    print("|---|---|---|---|")
+    for (fw, acq), vals in final.items():
+        c = np.mean([v[0] for v in vals])
+        v = np.mean([v[1] for v in vals])
+        print(f"| {fw} | {acq} | {v:.4f} | {c:.0f} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,42 @@ def test_normalizer_per_column_mode(rng):
     norm = Normalizer(np.zeros((50, 1)), y, normal_y_mode=1)
     yn = norm.normalize_y(y)
     np.testing.assert_allclose(yn.std(axis=0, ddof=1), [1.0, 1.0], rtol=1e-6)
+
+
+def test_overlap_pairs_permuted_subset():
+    """Overlap rows must be PAIRED by x value, not mask-selected per side:
+    with a permuted (non-order-preserving) high-fidelity subset the
+    reference's mask approach silently pairs y1 with the wrong y2
+    (`MF_data.py:196-205`)."""
+    rng = np.random.default_rng(0)
+    x1 = rng.random((12, 2)).astype(np.float32)
+    y1 = rng.random((12, 1)).astype(np.float32)
+    perm = np.asarray([7, 2, 9, 0, 5])
+    x2 = x1[perm]
+    y2 = rng.random((5, 1)).astype(np.float32)
+    dm = MultiFidelityDataManager([
+        {"raw_fidelity_name": "0", "fidelity_indicator": 0, "X": x1, "Y": y1},
+        {"raw_fidelity_name": "1", "fidelity_indicator": 1, "X": x2, "Y": y2},
+    ])
+    cx1, cy1, cx2, cy2 = dm.get_overlap_input_data(0, 1)
+    assert len(cx1) == len(cx2) == 5
+    np.testing.assert_allclose(cx1, cx2)          # row-aligned x
+    np.testing.assert_allclose(cy1, y1[perm])      # y1 follows x2's order
+    np.testing.assert_allclose(cy2, y2)
+
+
+def test_overlap_with_duplicate_designs():
+    """A BO loop can re-query the same x: duplicate rows must keep the two
+    sides' row counts equal (each duplicate pairs to the first match)."""
+    x1 = np.asarray([[0.1], [0.2], [0.3]], np.float32)
+    y1 = np.asarray([[1.0], [2.0], [3.0]], np.float32)
+    x2 = np.asarray([[0.2], [0.2], [0.9]], np.float32)  # duplicate design
+    y2 = np.asarray([[5.0], [6.0], [7.0]], np.float32)
+    dm = MultiFidelityDataManager([
+        {"raw_fidelity_name": "0", "fidelity_indicator": 0, "X": x1, "Y": y1},
+        {"raw_fidelity_name": "1", "fidelity_indicator": 1, "X": x2, "Y": y2},
+    ])
+    cx1, cy1, cx2, cy2 = dm.get_overlap_input_data(0, 1)
+    assert len(cy1) == len(cy2) == 2
+    np.testing.assert_allclose(cy1.ravel(), [2.0, 2.0])
+    np.testing.assert_allclose(cy2.ravel(), [5.0, 6.0])

@@ -80,7 +80,41 @@ def test_run_sweep_writes_csv(tmp_path):
     path = tmp_path / "tl112" / "ResGP_seed_0.csv"
     assert path.exists()
     text = path.read_text()
-    assert text.startswith("n_high,rmse,nrmse,r2,nll,time")
+    # the reference's exact column set (`exp_non_aligned.py:53`)
+    assert text.startswith("train_sample_num,rmse,nrmse,r2,nll,time")
+
+
+def test_run_single_gar_cigar_scalar():
+    """GAR/CIGAR on scalar zoo data with (1,) output shapes — the
+    reference's exp_non_aligned protocol runs all five methods including
+    GAR/CIGAR on the scalar zoo (`exp_non_aligned.py:40-45,95-96`)."""
+    for method in ("GAR", "CIGAR"):
+        row = run_single(
+            method, "tl112", seed=0, n_high=8, n_low=24, n_test=20,
+            max_iter=40, n_restarts=2,
+        )
+        assert np.isfinite(row["rmse"]), (method, row)
+        assert row["rmse"] < 10.0, (method, row)
+
+
+def test_run_gar_field_sweep_variants(tmp_path):
+    """Tensor-field GAR sweep: one tiny cell per variant writes the
+    reference CSV format and produces finite errors."""
+    from fidelityfusion_tpu.experiments.sweep import run_gar_field_sweep
+
+    for variant in ("aligned", "non-aligned", "non-subset"):
+        rows = run_gar_field_sweep(
+            methods=("CIGAR",), datasets=("poisson",), seeds=(0,),
+            n_high_grid=(6,), variant=variant, n_low=16, n_test=8,
+            resolutions=(4, 6), outdir=str(tmp_path), max_iter=30,
+            n_restarts=2,
+        )
+        assert len(rows) == 1
+        assert np.isfinite(rows[0]["rmse"]), (variant, rows)
+        path = tmp_path / f"poisson_{variant}" / "CIGAR_seed_0.csv"
+        assert path.read_text().startswith(
+            "train_sample_num,rmse,nrmse,r2,nll,time"
+        )
 
 
 def test_run_car_sweep_writes_csv(tmp_path):

@@ -45,3 +45,23 @@ def test_joint_car(toy_sin_data):
     assert finite[-1] < finite[0]
     rmse = _rmse(model, dm, toy_sin_data)
     assert rmse < 0.5, f"CAR joint rmse {rmse}"
+
+
+@pytest.mark.parametrize(
+    "cls", [AR, ResGP, NAR],
+)
+def test_joint_nonsubset_staged_imputation(toy_sin_data, cls):
+    """Non-subset joint training (staged imputation between rounds,
+    `MFGP_ver2023May/AR_AutoRegression.py:180-203` contract): accuracy must
+    match the staged trainer's on the toy fixture (staged nonsubset AR
+    asserts < 0.3 in tests/test_ar.py)."""
+    dm = build_manager(toy_sin_data)
+    model = cls(3, [SquaredExponentialKernel() for _ in range(3)],
+                input_dim=1, if_nonsubset=True)
+    losses = np.asarray(train_joint(model, dm, max_iter=400, lr_init=5e-2,
+                                    rounds=4))
+    assert losses.shape[0] >= 400
+    finite = losses[np.isfinite(losses)]
+    assert finite[-1] < finite[0]
+    rmse = _rmse(model, dm, toy_sin_data)
+    assert rmse < 0.35, f"{cls.__name__} nonsubset joint rmse {rmse}"

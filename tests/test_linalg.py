@@ -337,3 +337,78 @@ def test_hybrid_nll_ill_conditioned_se_gram():
     # ...and not meaningfully worse than the triangular-solve path
     assert egS_h < 10 * max(egS_f, 1e-4), (egS_h, egS_f)
     assert egy_h < 10 * max(egy_f, 1e-4), (egy_h, egy_f)
+
+
+def test_se_analytic_nlml_matches_autodiff(rng):
+    """Analytic-gradient SE NLML (`ops/fused_se.py`) — value and all three
+    hyperparameter gradients (plus dy) must match autodiff of mvn_nll on
+    the explicitly assembled Sigma; the x cotangent is zero by design."""
+    import jax
+
+    from fidelityfusion_tpu.ops.fused_se import se_nlml
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    kern = SquaredExponentialKernel()
+    for n, d in ((100, 1), (130, 3)):
+        x = jnp.asarray(rng.random((n, 2)) * 4, jnp.float32)
+        y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        params = {
+            "kernel": {
+                "length_scale": jnp.asarray([0.3], jnp.float32),
+                "signal_variance": jnp.asarray([0.2], jnp.float32),
+            },
+            "log_beta": jnp.asarray([1.5], jnp.float32),
+        }
+
+        def ref_nll(p, yy):
+            K = kern.apply(p["kernel"], x, x)
+            Sigma = L.assemble_sigma(K, jnp.exp(-p["log_beta"][0]),
+                                     jitter=1e-6)
+            return L.mvn_nll(Sigma, yy)
+
+        v_ref = float(ref_nll(params, y))
+        v_new = float(se_nlml(params, x, y, 1e-6))
+        np.testing.assert_allclose(v_new, v_ref, rtol=1e-4)
+
+        g_ref, gy_ref = jax.grad(ref_nll, argnums=(0, 1))(params, y)
+        g_new, gy_new = jax.grad(
+            lambda p, yy: se_nlml(p, x, yy, 1e-6), argnums=(0, 1)
+        )(params, y)
+        for key_path in (("kernel", "length_scale"),
+                         ("kernel", "signal_variance"), ("log_beta",)):
+            a, b = g_new, g_ref
+            for k in key_path:
+                a, b = a[k], b[k]
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5,
+                err_msg=str(key_path),
+            )
+        np.testing.assert_allclose(np.asarray(gy_new), np.asarray(gy_ref),
+                                   rtol=1e-2, atol=1e-4)
+
+        # x cotangent is zero by design
+        gx = jax.grad(lambda xx: se_nlml(params, xx, y, 1e-6))(x)
+        assert float(jnp.max(jnp.abs(gx))) == 0.0
+
+
+def test_cigp_dispatches_se_analytic(rng):
+    """CIGP.nll at n >= hybrid_min_n with the scalar SE kernel must produce
+    the same value/param-grads through the analytic path as with it off."""
+    import jax
+
+    from fidelityfusion_tpu.models.cigp import CIGP
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    n = 600
+    x = jnp.asarray(rng.random((n, 1)) * 10, jnp.float32)
+    y = jnp.sin(x)
+    gp_on = CIGP(kernel=SquaredExponentialKernel())
+    gp_off = CIGP(kernel=SquaredExponentialKernel(), se_analytic_nll=False)
+    p = gp_on.init_params(1)
+    v_on, g_on = jax.value_and_grad(lambda pp: gp_on.nll(pp, x, y))(p)
+    v_off, g_off = jax.value_and_grad(lambda pp: gp_off.nll(pp, x, y))(p)
+    np.testing.assert_allclose(float(v_on), float(v_off), rtol=1e-4)
+    for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(g_on),
+                              jax.tree_util.tree_leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b),
+                                   rtol=5e-3, atol=1e-5)

@@ -144,3 +144,99 @@ def test_continuous_bo_loop():
     assert all(0.1 <= z <= 1.0 for z in rec["Z"])
     inc = rec["incumbents"]
     assert inc[1] >= inc[0] - 1e-9
+
+
+def _seeded_gp_fixture():
+    """A trained-ish single-output CIGP posterior on a seeded 1-D fixture,
+    with (mean, var, cov) closures in the shapes cfkg expects."""
+    from fidelityfusion_tpu.models.cigp import CIGP
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    rng = np.random.default_rng(3)
+    x_tr = np.sort(rng.random((24, 1)) * 6, axis=0).astype(np.float32)
+    y_tr = (np.sin(x_tr) + 0.05 * rng.standard_normal((24, 1))).astype(
+        np.float32
+    )
+    gp = CIGP(kernel=SquaredExponentialKernel())
+    params = gp.init_params(1)
+    params["log_beta"] = jnp.asarray([3.0], jnp.float32)  # low noise
+
+    def mean_fn(x, s=0):
+        m, _ = gp.predict_diag(params, x_tr, y_tr, x)
+        return m
+
+    def var_fn(x, s=0):
+        _, v = gp.predict_diag(params, x_tr, y_tr, x)
+        return v
+
+    def cov_fn(a, b, s=0):
+        both = jnp.concatenate([a, b], axis=0)
+        _, cov = gp.predict(params, x_tr, y_tr, both)
+        # CIGP.predict adds the noise variance to every entry (reference
+        # cigp_v10.py:43-44 semantics); the cross-covariance block must be
+        # the pure posterior covariance
+        noise = gp.noise(params)
+        return cov[: a.shape[0], a.shape[0]:] - noise
+
+    return gp, params, x_tr, y_tr, mean_fn, var_fn, cov_fn
+
+
+def test_cfkg_fantasy_matches_retrain_conditioning():
+    """The rank-1 fantasy KG scorer must agree with the retrain/parity mode
+    (append the imagined observation, recompute the FULL posterior) in both
+    value and candidate ranking — the correctness contract replacing the
+    reference's retrain-per-candidate (`v1/CFKG.py:67-78`)."""
+    from fidelityfusion_tpu.bo.cfkg import fantasy_gain, retrain_gain
+
+    gp, params, x_tr, y_tr, mean_fn, var_fn, cov_fn = _seeded_gp_fixture()
+    grid = jnp.linspace(0.0, 6.0, 40, dtype=jnp.float32).reshape(-1, 1)
+    cands = jnp.asarray([[0.4], [1.7], [2.9], [4.1], [5.3], [5.9]], jnp.float32)
+
+    g_fast, g_full = [], []
+    for i in range(cands.shape[0]):
+        xc = cands[i: i + 1]
+        g_fast.append(
+            float(fantasy_gain(mean_fn, var_fn, cov_fn, xc, 0, grid, 1.0))
+        )
+        g_full.append(
+            float(retrain_gain(gp, params, x_tr, y_tr, xc, grid, 1.0))
+        )
+    g_fast, g_full = np.asarray(g_fast), np.asarray(g_full)
+    # values agree to f32 linear-algebra roundoff
+    scale = max(np.abs(g_full).max(), 1e-6)
+    np.testing.assert_allclose(g_fast, g_full, atol=5e-3 * scale + 1e-6,
+                               rtol=0.05)
+    # and the induced candidate ranking is identical
+    assert list(np.argsort(g_fast)) == list(np.argsort(g_full)), (
+        g_fast, g_full
+    )
+
+
+def test_mfes_pmin_entropy_stable_across_keys():
+    """The MC Thompson p_min entropy (replacing emukit's EPMGP,
+    `v1/MF_ES.py:38-93`) must be stable across PRNG keys at the strategy's
+    sample sizes, and the selected candidate must not flip with n_mc."""
+    mean = jnp.asarray(np.sin(np.linspace(0, 6, 32)), jnp.float32)
+    std = jnp.asarray(0.1 + 0.3 * np.linspace(0, 1, 32) ** 2, jnp.float32)
+
+    ents = [
+        float(MFESStrategy._pmin_entropy(mean, std, jax.random.PRNGKey(k), 512))
+        for k in range(8)
+    ]
+    ents = np.asarray(ents)
+    assert ents.std() / ents.mean() < 0.05, ents
+
+    # candidate selection robust to the MC budget on a well-separated fixture
+    def pick(n_mc, seed):
+        strat = MFESStrategy(
+            1, 2, _posterior, cost_fn=lambda s: float(s), seed=seed,
+            n_candidates=24, n_mc=n_mc,
+        )
+        x, _ = strat.compute_next()
+        return float(x.ravel()[0])
+
+    for seed in (1, 5):
+        # the gains of adjacent candidates near the minimum are within MC
+        # noise of each other; stability contract = same basin, not the
+        # same exact candidate index
+        assert abs(pick(64, seed) - pick(256, seed)) < 0.05
