@@ -35,15 +35,19 @@ RECORDED = {
     "nlml300": 6289.0,        # steps/s (live 2026-08-17)
     "nlml1024": 1899.0,       # steps/s (live 2026-08-17)
     "nlml4096": 86.2,         # steps/s (live 2026-08-18)
-    "nlml1024_fused": 2755.0,  # steps/s (live 2026-08-19, hybrid GEMM NLML)
-    "nlml4096_fused": 147.0,   # steps/s (live 2026-08-19, hybrid GEMM NLML)
-    "restarts": 2993.0,       # aggregate steps/s, R=32 n=1024, GEMM-only
-                              # blocked NLML (live 2026-08-18; fused path
-                              # measured 2125 the same day)
+    "nlml1024_fused": 2637.0,  # steps/s (live 2026-08-19 r2, se-analytic)
+    "nlml4096_fused": 203.0,   # steps/s (live 2026-08-19 r2, se-analytic;
+                               # 91% of the measured-primitive bound,
+                               # BASELINE.md derivation)
+    "restarts": 2993.0,       # aggregate steps/s, R=32 n=1024 (live
+                              # 2026-08-18 at bf16-default GEMMs; the
+                              # round-2 "high"-precision default is safer
+                              # and somewhat slower — re-measure)
     "chol4096": 10.1,         # TFLOP/s (live 2026-08-17, XLA)
-    "gram4096": 0.5,          # ms (estimate from matmul roofline)
+    "gram4096": 0.05,         # ms (live 2026-08-19, XLA fused ARD gram)
     "pallas_chol4096": float("nan"),
-    "pallas_gram4096": 0.072,  # ms (live 2026-08-18, ~HBM roofline)
+    "pallas_gram4096": 0.118,  # ms (live 2026-08-19 r2; LOSES to XLA's
+                               # 0.050 — round-1 0.072 claim retracted)
     "hogp128": float("nan"),      # steps/s, n=128 (32,32) fields
     "hogp1024": float("nan"),     # steps/s, n=1024 (32,32,32) fields
     "eigh1024": float("nan"),     # ms, one 1024x1024 symmetric eigh

@@ -5,13 +5,15 @@ Runs `parallel/multihost.py:restart_scaling_efficiency` on the virtual
 D in {1, 2, 4, 8} with 4 restarts per device, and writes
 MULTICHIP_SCALING.json at the repo root.
 
-HONESTY NOTE (recorded in the artifact + BASELINE.md): the virtual devices
-share this host's physical CPU cores, so weak-scaling efficiency here is
-bounded by n_cores/D once D exceeds the core count — the meaningful claim
-is measured-efficiency vs that oversubscription bound (sharding-layer
-overhead), not vs 1.0.  On real multi-chip hardware the same program's
-restart axis is embarrassingly parallel (no cross-device collectives until
-the final argmax).
+HONESTY NOTE (recorded in the artifact + BASELINE.md): this host has 2
+physical cores and the D=1 baseline already uses BOTH via XLA intra-op
+threading, so adding virtual devices DIVIDES fixed silicon instead of
+adding it — measured D=2 efficiency ~0.39 even with one restart per
+device, and D=8 thrashes 8 device executors on 2 cores (~0.01).  The
+virtual mesh validates CORRECTNESS of the sharded programs (see
+`dryrun_multichip` and tests/test_parallel.py); scaling efficiency is
+only measurable on real multi-chip hardware, where the restart axis is
+embarrassingly parallel (one all-gather at the final argmax).
 """
 
 import json
