@@ -629,6 +629,9 @@ def main():
     ref, ref_live = run_stage_subprocess("ref", timeout=120, retries=0)
     if not ref_live:
         ref = REF_STEPS_PER_S_N1024
+    # fairness guard: host-CPU contention (e.g. a concurrent sweep) can
+    # depress the torch reference; compare against its best measurement
+    ref = max(ref, REF_STEPS_PER_S_N1024)
     log(f"[ref] torch-CPU n=1024: {ref:.1f} steps/s")
 
     # headline = the production-default path (fused custom-VJP NLML)

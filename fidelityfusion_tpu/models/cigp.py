@@ -93,6 +93,7 @@ class CIGP:
         """
         if (
             self.se_analytic_nll
+            and self.fused_nll
             and self.hybrid_nll
             and not self.blocked_nll
             and mask is None
