@@ -39,10 +39,11 @@ RECORDED = {
     "nlml4096_fused": 203.0,   # steps/s (live 2026-08-19 r2, se-analytic;
                                # 91% of the measured-primitive bound,
                                # BASELINE.md derivation)
-    "restarts": 2993.0,       # aggregate steps/s, R=32 n=1024 (live
-                              # 2026-08-18 at bf16-default GEMMs; the
-                              # round-2 "high"-precision default is safer
-                              # and somewhat slower — re-measure)
+    "restarts": 2930.0,       # aggregate steps/s, R=32 n=1024 (live
+                              # 2026-08-19 r2: "high"-precision
+                              # factorization + default-precision
+                              # gradient GEMM — 98% of the unsafe
+                              # all-bf16 2993)
     "chol4096": 10.1,         # TFLOP/s (live 2026-08-17, XLA)
     "gram4096": 0.05,         # ms (live 2026-08-19, XLA fused ARD gram)
     "pallas_chol4096": float("nan"),

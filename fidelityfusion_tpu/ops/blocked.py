@@ -212,7 +212,9 @@ def _nll_blocked_bwd(block, leaf, res, g):
     W, gamma = res
     d = gamma.shape[1]
     alpha = _mm(W.T, gamma, "highest")
-    Kinv = _mm(W.T, W, "highest")
+    # gradient-only GEMM at the fast default precision (see
+    # _nll_hybrid_bwd / BASELINE.md convergence check)
+    Kinv = _mm(W.T, W, "default")
     dSigma = g * 0.5 * (d * Kinv - alpha @ alpha.T)
     return dSigma, g * alpha
 
