@@ -45,10 +45,13 @@ RECORDED = {
                               # gradient GEMM — 98% of the unsafe
                               # all-bf16 2993)
     "chol4096": 10.1,         # TFLOP/s (live 2026-08-17, XLA)
-    "gram4096": 0.05,         # ms (live 2026-08-19, XLA fused ARD gram)
+    "gram4096": 0.15,         # ms (live 2026-08-19 r2, XLA ARD gram with
+                              # the full-precision cross term — the bf16
+                              # 0.04-ms version produced indefinite Grams)
     "pallas_chol4096": float("nan"),
-    "pallas_gram4096": 0.118,  # ms (live 2026-08-19 r2; LOSES to XLA's
-                               # 0.050 — round-1 0.072 claim retracted)
+    "pallas_gram4096": 0.04,   # ms (live 2026-08-19 r2: BEATS the
+                               # precision-correct XLA gram 3.7x — VMEM
+                               # f32 quadratic expansion)
     "hogp128": float("nan"),      # steps/s, n=128 (32,32) fields
     "hogp1024": float("nan"),     # steps/s, n=1024 (32,32,32) fields
     "eigh1024": float("nan"),     # ms, one 1024x1024 symmetric eigh

@@ -33,6 +33,10 @@ def load_sweep_results(outdir: str, dataset: str) -> Dict[str, Dict[int, List[di
                 {k: float(v) for k, v in row.items()}
                 for row in csv.DictReader(f)
             ]
+        for r in rows:
+            # reference CSV column is train_sample_num (`exp_non_aligned
+            # .py:53`); older files may carry n_high
+            r.setdefault("n_high", r.get("train_sample_num"))
         out[method][seed] = sorted(rows, key=lambda r: r["n_high"])
     return dict(out)
 
@@ -109,6 +113,47 @@ def plot_bo_records(
     ax.set_xlabel("cumulative cost")
     ax.set_ylabel("incumbent")
     ax.legend()
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=150)
+    return fig
+
+
+def plot_headtohead_curves(
+    outdir: str,
+    save_to: Optional[str] = None,
+):
+    """Cost-vs-incumbent curves from `scripts/mfbo_headtohead.py` CSVs
+    (columns iteration,cost,incumbent; one file per framework/acq/seed):
+    mean over seeds, solid = ours, dashed = reference."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    groups: Dict[tuple, list] = defaultdict(list)
+    for path in glob.glob(os.path.join(outdir, "*_seed_*.csv")):
+        m = re.match(r"(.+?)_(.+)_seed_(\d+)\.csv$", os.path.basename(path))
+        if not m:
+            continue
+        fw, acq = m.group(1), m.group(2)
+        with open(path) as f:
+            rows = [(float(r["cost"]), float(r["incumbent"]))
+                    for r in csv.DictReader(f)]
+        groups[(fw, acq)].append(rows)
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for (fw, acq), runs in sorted(groups.items()):
+        n = min(len(r) for r in runs)
+        cost = np.mean([[c for c, _ in r[:n]] for r in runs], axis=0)
+        inc = np.stack([[v for _, v in r[:n]] for r in runs])
+        style = "--" if fw == "reference" else "-"
+        ax.plot(cost, inc.mean(0), style, marker=".", label=f"{fw} {acq}")
+        ax.fill_between(cost, inc.mean(0) - inc.std(0),
+                        inc.mean(0) + inc.std(0), alpha=0.12)
+    ax.set_xlabel("cumulative cost")
+    ax.set_ylabel("incumbent (max observed top-fidelity y)")
+    ax.legend(fontsize=8)
     fig.tight_layout()
     if save_to:
         fig.savefig(save_to, dpi=150)

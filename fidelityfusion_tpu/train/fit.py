@@ -106,10 +106,15 @@ def adam_scan(loss_fn, p0, opt, steps, trainable=None, loss_args=()):
 
 
 def _scan_train(loss_fn, p0, trainable, loss_args, steps, opt):
-    p_final, _, losses = adam_scan(
+    # return the last VERIFIED-finite params: p_final is one never-
+    # evaluated update ahead, and under the NaN-rollback 2-cycle
+    # (rollback -> same deterministic update -> NaN again) the final
+    # recorded loss can be finite while p_final is the NaN-producing
+    # point (found via the tl1 sweep at n=100, lr=5e-2)
+    _, good_p, losses = adam_scan(
         loss_fn, p0, opt, steps, trainable=trainable, loss_args=loss_args
     )
-    return p_final, losses
+    return good_p, losses
 
 
 @partial(jax.jit, static_argnames=("loss_fn", "steps", "lr"))
@@ -161,15 +166,12 @@ def fit(
 
 
 def _restart_single(loss_fn, p0, trainable, loss_args, steps, opt):
-    """One restart's training loop with last-good fallback on divergence."""
-    p_final, good_p, losses = adam_scan(
+    """One restart's training loop, returning the last VERIFIED-finite
+    params (see `_scan_train` note on the NaN-rollback 2-cycle)."""
+    _, good_p, losses = adam_scan(
         loss_fn, p0, opt, steps, trainable=trainable, loss_args=loss_args
     )
-    last_finite = jnp.isfinite(losses[-1])
-    p_final = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(last_finite, a, b), p_final, good_p
-    )
-    return p_final, losses
+    return good_p, losses
 
 
 @partial(jax.jit, static_argnames=("loss_fn", "steps", "lr"))
@@ -216,9 +218,22 @@ def fit_restarts(
             )
         )
         params_all, losses_all = run(params_batch)
-    final_losses = losses_all[:, -1]
-    # non-finite restarts never win
-    score = jnp.where(jnp.isfinite(final_losses), final_losses, jnp.inf)
+    # score each restart by its LAST FINITE loss (the loss at the params
+    # actually returned); a trajectory that NaN'd late may still hold a
+    # good verified point, and one whose very last recorded loss happens
+    # to be finite may alternate with NaN (rollback 2-cycle)
+    finite = jnp.isfinite(losses_all)
+    t_idx = jnp.arange(losses_all.shape[1])
+    last_fin = jnp.max(jnp.where(finite, t_idx[None, :], -1), axis=1)
+    score = jnp.where(
+        last_fin >= 0,
+        jnp.take_along_axis(
+            jnp.nan_to_num(losses_all, nan=jnp.inf, posinf=jnp.inf,
+                           neginf=-jnp.inf),
+            jnp.maximum(last_fin, 0)[:, None], axis=1
+        )[:, 0],
+        jnp.inf,
+    )
     best = jnp.argmin(score)
     best_params = jax.tree_util.tree_map(lambda a: a[best], params_all)
     return best_params, FitResult(params_all, losses_all)

@@ -154,3 +154,32 @@ def test_sweep_plots(tmp_path):
     assert ns.tolist() == [4.0, 8.0, 16.0]
     fig = plot_metric_vs_nhigh(str(tmp_path), "tl112", save_to=str(tmp_path / "fig.png"))
     assert (tmp_path / "fig.png").exists()
+
+
+def test_fit_restarts_returns_verified_finite_params():
+    """NaN-rollback 2-cycle regression: once a deterministic update
+    produces a non-finite loss, rollback re-tries the SAME update forever
+    (finite, NaN, finite, ...).  The returned params must be the last
+    VERIFIED-finite point, never the one-update-ahead NaN-producing one,
+    and restart scoring must use each trajectory's last finite loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from fidelityfusion_tpu.train.fit import fit, fit_restarts
+
+    # loss = x^2 but NaN once |x| crosses into the trap region: Adam from
+    # x0 with a big lr steps into the trap and oscillates
+    def loss(p):
+        x = p["x"][0]
+        val = jnp.where(jnp.abs(x) > 0.5, jnp.nan, x * x)
+        return val
+
+    p0 = {"x": jnp.asarray([0.45], jnp.float32)}
+    result = fit(loss, p0, steps=50, lr=0.3)
+    assert np.isfinite(float(loss(result.params))), result.params
+
+    batch = {"x": jnp.asarray([[0.45], [0.1]], jnp.float32)}
+    best, res = fit_restarts(loss, batch, steps=50, lr=0.3)
+    assert np.isfinite(float(loss(best)))
+    # the clean restart (0.1 -> heads to 0) must win
+    assert abs(float(best["x"][0])) < 0.45
