@@ -48,6 +48,14 @@ class CIGP:
     # pass hybrid_nll=False explicitly.
     hybrid_nll: bool = True
     hybrid_min_n: int = 512
+    # f32 noise floor (normalized-y units): on noise-free data the NLML
+    # optimum drives the nugget below what f32 Cholesky supports
+    # (cond(Sigma) ~ n*sv^2/nugget beyond ~1e7 NaNs unpredictably, and
+    # batched-vs-unbatched XLA cholesky disagree at the boundary).  The
+    # f64-CPU reference never hits this wall; an f32 TPU framework must
+    # floor the nugget.  1e-4 keeps cond <= ~1e6 at n=1000 and costs at
+    # most ~1%-of-std prediction smoothing.
+    min_noise: float = 1e-4
     # Analytic-gradient SE NLML (ops/fused_se.py): for the scalar SE
     # kernel at n >= hybrid_min_n, the three hyperparameter gradients have
     # closed forms needing ONE extra GEMM instead of the hybrid path's
@@ -63,7 +71,7 @@ class CIGP:
         }
 
     def noise(self, params) -> jnp.ndarray:
-        return jnp.exp(-params["log_beta"][0])
+        return jnp.maximum(jnp.exp(-params["log_beta"][0]), self.min_noise)
 
     def _sigma(self, params, x, y_var, mask):
         K = self.kernel.apply(params["kernel"], x, x)
@@ -106,7 +114,8 @@ class CIGP:
             from fidelityfusion_tpu.ops.fused_se import se_nlml
 
             y2 = y if y.ndim == 2 else y[:, None]
-            return se_nlml(params, x, y2, self.jitter)
+            return se_nlml(params, x, y2, self.jitter,
+                           min_noise=self.min_noise)
         Sigma = self._sigma(params, x, y_var, mask)
         if self.blocked_nll:
             from fidelityfusion_tpu.ops.blocked import mvn_nll_blocked
@@ -179,6 +188,7 @@ class GPBasic:
     kernel: Kernel
     jitter: float = JITTER
     relative_jitter: bool = False
+    min_noise: float = 1e-4  # f32 nugget floor (see CIGP.min_noise)
 
     def init_params(self, input_dim: int, noise_variance: float = 1.0):
         return {
@@ -187,7 +197,7 @@ class GPBasic:
         }
 
     def noise(self, params) -> jnp.ndarray:
-        return params["noise_variance"][0] ** 2
+        return jnp.maximum(params["noise_variance"][0] ** 2, self.min_noise)
 
     def _sigma(self, params, x, y_var, mask):
         K = self.kernel.apply(params["kernel"], x, x)

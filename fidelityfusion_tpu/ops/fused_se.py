@@ -45,7 +45,7 @@ from fidelityfusion_tpu.ops.blocked import _mm, chol_inv_padded
 LOG2PI = math.log(2.0 * math.pi)
 
 
-def _se_sigma_parts(params, x, jitter):
+def _se_sigma_parts(params, x, jitter, min_noise=0.0):
     t = params["kernel"]["length_scale"][0]
     u = params["kernel"]["signal_variance"][0]
     b = params["log_beta"][0]
@@ -56,14 +56,15 @@ def _se_sigma_parts(params, x, jitter):
                     preferred_element_type=jnp.float32)
     d2 = jnp.maximum(n1 + n1.T - 2.0 * cross, 0.0)
     K = jnp.exp(2.0 * u) * jnp.exp(-0.5 * d2 * jnp.exp(-2.0 * t))
-    c = jnp.exp(-b) + jitter
+    # f32 nugget floor (models/cigp.py:CIGP.min_noise rationale)
+    c = jnp.maximum(jnp.exp(-b), min_noise) + jitter
     Sigma = K + c * jnp.eye(x.shape[0], dtype=x.dtype)
     return d2, K, c, Sigma
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def se_nlml(params, x, y, jitter=1e-6, precision="high",
-            factor="xla", grad_precision="default"):
+            factor="xla", grad_precision="default", min_noise=0.0):
     """NLML of y ~ N(0, SE-Gram + noise I), columns summed — value matches
     `linalg.mvn_nll_fused` on the same Sigma; gradients wrt ``params`` and
     ``y`` are analytic (see module docstring); the x cotangent is ZERO.
@@ -72,14 +73,14 @@ def se_nlml(params, x, y, jitter=1e-6, precision="high",
     "signal_variance"}, "log_beta"}; ``y`` must be (n, d).
     """
     val, _ = _se_nlml_fwd(params, x, y, jitter, precision, factor,
-                          grad_precision)
+                          grad_precision, min_noise)
     return val
 
 
 def _se_nlml_fwd(params, x, y, jitter, precision, factor,
-                 grad_precision=None):
+                 grad_precision=None, min_noise=0.0):
     n, d = y.shape
-    d2, K, c, Sigma = _se_sigma_parts(params, x, jitter)
+    d2, K, c, Sigma = _se_sigma_parts(params, x, jitter, min_noise)
     # one-pass (L, W): 1.48 ms at n=4096 vs 3.15 for chol + tri_inv
     L, W = chol_inv_padded(Sigma, precision=precision, factor=factor)
     gamma = _mm(W, y, "highest")
@@ -91,7 +92,8 @@ def _se_nlml_fwd(params, x, y, jitter, precision, factor,
     return val, (params, x, d2, K, c, W, gamma, y)
 
 
-def _se_nlml_bwd(jitter, precision, factor, grad_precision, res, g):
+def _se_nlml_bwd(jitter, precision, factor, grad_precision, min_noise,
+                 res, g):
     params, x, d2, K, c, W, gamma, y = res
     n, d = y.shape
     t = params["kernel"]["length_scale"][0]
@@ -102,8 +104,9 @@ def _se_nlml_bwd(jitter, precision, factor, grad_precision, res, g):
     a_sq = jnp.sum(A * A)                # ||A||_F^2
     a_y = jnp.sum(A * y)                 # sum_j a_j^T y_j
 
-    # d/db:  dSigma/db = -e^{-b} I
-    g_b = -jnp.exp(-b) * 0.5 * (d * tr_inv - a_sq)
+    # d/db:  dSigma/db = -e^{-b} I, ZERO when the nugget floor is active
+    active = (jnp.exp(-b) >= min_noise).astype(jnp.float32)
+    g_b = -active * jnp.exp(-b) * 0.5 * (d * tr_inv - a_sq)
 
     # d/du:  dK/du = 2K
     tr_SK = n - c * tr_inv               # tr(Sigma^{-1} K)

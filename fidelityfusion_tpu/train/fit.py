@@ -22,6 +22,7 @@ from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -234,8 +235,28 @@ def fit_restarts(
         )[:, 0],
         jnp.inf,
     )
-    best = jnp.argmin(score)
-    best_params = jax.tree_util.tree_map(lambda a: a[best], params_all)
+    # Re-VERIFY the winner outside vmap: batched and unbatched Cholesky
+    # are different XLA kernels, and at the f32 conditioning boundary a
+    # loss that came out finite under vmap can be NaN unbatched (observed
+    # on tl1 stages whose optimum drives the noise to ~1e-5).  Walk the
+    # candidates best-first until one is finite un-batched.
+    order = np.argsort(np.asarray(score))
+    eval_fn = jax.jit(loss_fn) if loss_args is not None else None
+    best_params = None
+    for idx in order:
+        if not np.isfinite(np.asarray(score)[idx]):
+            break
+        cand = jax.tree_util.tree_map(lambda a: a[idx], params_all)
+        if eval_fn is not None:
+            val = float(eval_fn(cand, *loss_args))
+        else:
+            val = float(loss_fn(cand))
+        if np.isfinite(val):
+            best_params = cand
+            break
+    if best_params is None:  # no candidate verifies; return the argmin
+        best = jnp.argmin(score)
+        best_params = jax.tree_util.tree_map(lambda a: a[best], params_all)
     return best_params, FitResult(params_all, losses_all)
 
 
