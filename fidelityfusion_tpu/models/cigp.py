@@ -48,13 +48,15 @@ class CIGP:
     # pass hybrid_nll=False explicitly.
     hybrid_nll: bool = True
     hybrid_min_n: int = 512
-    # f32 noise floor (normalized-y units): on noise-free data the NLML
-    # optimum drives the nugget below what f32 Cholesky supports
-    # (cond(Sigma) ~ n*sv^2/nugget beyond ~1e7 NaNs unpredictably, and
-    # batched-vs-unbatched XLA cholesky disagree at the boundary).  The
-    # f64-CPU reference never hits this wall; an f32 TPU framework must
-    # floor the nugget.  1e-4 keeps cond <= ~1e6 at n=1000 and costs at
-    # most ~1%-of-std prediction smoothing.
+    # f32 RELATIVE noise floor: on noise-free data the NLML optimum
+    # drives the nugget below what f32 Cholesky supports
+    # (cond(Sigma) ~ n*mean(diag K)/nugget beyond ~1e7 NaNs
+    # unpredictably, and batched / unbatched / eager XLA cholesky
+    # disagree right at the boundary).  The f64-CPU reference never hits
+    # this wall; an f32 framework must floor the nugget.  The floor is
+    # RELATIVE to mean(diag K) (the signal variance can itself blow up
+    # in degenerate near-constant-kernel optima), bounding
+    # cond <= n/min_noise regardless of the learned amplitude.
     min_noise: float = 1e-4
     # Analytic-gradient SE NLML (ops/fused_se.py): for the scalar SE
     # kernel at n >= hybrid_min_n, the three hyperparameter gradients have
@@ -70,14 +72,16 @@ class CIGP:
             "log_beta": jnp.asarray([log_beta], jnp.float32),
         }
 
-    def noise(self, params) -> jnp.ndarray:
-        return jnp.maximum(jnp.exp(-params["log_beta"][0]), self.min_noise)
+    def noise(self, params, K_diag_mean=1.0) -> jnp.ndarray:
+        return jnp.maximum(
+            jnp.exp(-params["log_beta"][0]), self.min_noise * K_diag_mean
+        )
 
     def _sigma(self, params, x, y_var, mask):
         K = self.kernel.apply(params["kernel"], x, x)
         return linalg.assemble_sigma(
             K,
-            self.noise(params),
+            self.noise(params, jnp.mean(jnp.diagonal(K))),
             jitter=self.jitter,
             y_var=y_var,
             mask=mask,
@@ -150,7 +154,9 @@ class CIGP:
         # clamp tiny negative f32-roundoff variances before adding noise
         d = jnp.diagonal(cov)
         cov = cov + jnp.diag(jnp.maximum(d, 0.0) - d)
-        cov = cov + self.noise(params)
+        cov = cov + self.noise(
+            params, jnp.mean(self.kernel.diag(params["kernel"], x_train))
+        )
         return mean, cov
 
     def predict_diag(
@@ -169,7 +175,9 @@ class CIGP:
         K_s = self.kernel.apply(params["kernel"], x_train, x_test)
         k_ss = self.kernel.diag(params["kernel"], x_test)
         mean, var = linalg.posterior_diag(Sigma, y_train, K_s, k_ss, mask=mask)
-        return mean, var + self.noise(params)
+        return mean, var + self.noise(
+            params, jnp.mean(self.kernel.diag(params["kernel"], x_train))
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,7 +196,7 @@ class GPBasic:
     kernel: Kernel
     jitter: float = JITTER
     relative_jitter: bool = False
-    min_noise: float = 1e-4  # f32 nugget floor (see CIGP.min_noise)
+    min_noise: float = 1e-4  # f32 RELATIVE nugget floor (see CIGP.min_noise)
 
     def init_params(self, input_dim: int, noise_variance: float = 1.0):
         return {
@@ -196,14 +204,16 @@ class GPBasic:
             "noise_variance": jnp.asarray([noise_variance], jnp.float32),
         }
 
-    def noise(self, params) -> jnp.ndarray:
-        return jnp.maximum(params["noise_variance"][0] ** 2, self.min_noise)
+    def noise(self, params, K_diag_mean=1.0) -> jnp.ndarray:
+        return jnp.maximum(
+            params["noise_variance"][0] ** 2, self.min_noise * K_diag_mean
+        )
 
     def _sigma(self, params, x, y_var, mask):
         K = self.kernel.apply(params["kernel"], x, x)
         return linalg.assemble_sigma(
             K,
-            self.noise(params),
+            self.noise(params, jnp.mean(jnp.diagonal(K))),
             jitter=self.jitter,
             y_var=y_var,
             mask=mask,

@@ -56,8 +56,9 @@ def _se_sigma_parts(params, x, jitter, min_noise=0.0):
                     preferred_element_type=jnp.float32)
     d2 = jnp.maximum(n1 + n1.T - 2.0 * cross, 0.0)
     K = jnp.exp(2.0 * u) * jnp.exp(-0.5 * d2 * jnp.exp(-2.0 * t))
-    # f32 nugget floor (models/cigp.py:CIGP.min_noise rationale)
-    c = jnp.maximum(jnp.exp(-b), min_noise) + jitter
+    # f32 RELATIVE nugget floor: mean(diag K) = e^{2u} exactly for SE
+    # (models/cigp.py:CIGP.min_noise rationale)
+    c = jnp.maximum(jnp.exp(-b), min_noise * jnp.exp(2.0 * u)) + jitter
     Sigma = K + c * jnp.eye(x.shape[0], dtype=x.dtype)
     return d2, K, c, Sigma
 
@@ -104,14 +105,18 @@ def _se_nlml_bwd(jitter, precision, factor, grad_precision, min_noise,
     a_sq = jnp.sum(A * A)                # ||A||_F^2
     a_y = jnp.sum(A * y)                 # sum_j a_j^T y_j
 
-    # d/db:  dSigma/db = -e^{-b} I, ZERO when the nugget floor is active
-    active = (jnp.exp(-b) >= min_noise).astype(jnp.float32)
-    g_b = -active * jnp.exp(-b) * 0.5 * (d * tr_inv - a_sq)
+    # d/db:  dSigma/db = -e^{-b} I, ZERO when the nugget floor is active;
+    # when clamped the floor min_noise*e^{2u} contributes to d/du instead
+    u = params["kernel"]["signal_variance"][0]
+    floor = min_noise * jnp.exp(2.0 * u)
+    active = (jnp.exp(-b) >= floor).astype(jnp.float32)
+    tr_G = 0.5 * (d * tr_inv - a_sq)
+    g_b = -active * jnp.exp(-b) * tr_G
 
     # d/du:  dK/du = 2K
     tr_SK = n - c * tr_inv               # tr(Sigma^{-1} K)
     aKa = a_y - c * a_sq                 # sum_j a_j^T K a_j
-    g_u = 2.0 * 0.5 * (d * tr_SK - aKa)
+    g_u = 2.0 * 0.5 * (d * tr_SK - aKa) + (1.0 - active) * 2.0 * floor * tr_G
 
     # d/dt:  M = K . d2 e^{-2t}
     M = K * (d2 * jnp.exp(-2.0 * t))
