@@ -16,6 +16,8 @@ if args.cpu:
 
     jax.config.update("jax_platforms", "cpu")
 
+import os as _os, sys as _sys
+_sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 

@@ -6,6 +6,8 @@ Equivalent of `Experiments/MFBO_discrete/MF_BO_discrete.py:33-152`:
 """
 
 import argparse
+import os as _os, sys as _sys
+_sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")

@@ -10,6 +10,8 @@ Also demonstrates the per-strategy continuous acquisitions
 """
 
 import argparse
+import os as _os, sys as _sys
+_sys.path.append(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
