@@ -1,64 +1,158 @@
-"""cfKG: continuous/discrete-fidelity knowledge gradient (one-step lookahead).
+"""cfKG: cost-aware discrete-fidelity knowledge gradient (one-step lookahead).
 
-TPU-native re-design of `MF_BayesianOptimization/Discrete/v1/CFKG.py:12-150`:
-for each candidate (x, s), imagine observing the posterior-mean value
-there, update the surrogate, and score the per-cost gain in the maximum
-posterior mean at the top fidelity:
+TPU-native re-design of `MF_BayesianOptimization/Discrete/v1/CFKG.py:12-150`.
 
-    kg(x, s) = (max_x' mu+[x'] - max_x' mu[x']) / cost(s)
+The reference scores a candidate by retraining a full surrogate on the
+fantasized observation and taking the per-cost gain in the max posterior
+mean (`CFKG.py:67-78`) — but its fidelity variable is HARDCODED to the top
+fidelity (`CFKG.py:119`: ``s = np.ones(N) + 1``), so the shipped strategy
+never weighs cost at all: every query is a top-fidelity query.
 
-The reference re-trains a full surrogate per candidate (`CFKG.py:67-69`),
-which is the dominant cost of its BO loop.  Here the lookahead posterior
-uses the *fantasy update* of the current GP stage (exact rank-1 posterior
-conditioning on the imagined observation) — mathematically the conditional
-posterior the retrain approximates, at a tiny fraction of the cost;
-`retrain_gain` reproduces the reference's retrain-per-candidate semantics
-(append + full posterior recompute) for parity checks, and
-tests/test_strategies.py asserts the two scorers agree.
+This module implements the knowledge gradient for the quantity the MFBO
+protocol actually records — the **best observed top-fidelity value**
+(`Experiments/MFBO_discrete/MF_BO_discrete.py:56-58,148-150`: the incumbent
+is ``max(ytr[-1])``; low-fidelity observations can never move it).  The
+lookahead is therefore two-step:
+
+1. query (x, s) now, paying cost(s);
+2. assume one further top-fidelity query at the updated posterior argmax
+   (any sensible policy ends with one — its cost is common to all options
+   and drops out of the comparison).
+
+The expected terminal best-observed value under fantasy draw ``e`` is
+
+    V_e = max( incumbent_e , max_x' mu_e^top(x') )
+
+where ``incumbent_e = max(incumbent, y_e)`` if s is the top fidelity
+(the draw itself is an observed top value) and ``incumbent`` otherwise,
+and ``mu_e^top`` is the top-fidelity posterior mean conditioned on the
+fantasy via the exact rank-1 update
+
+    mu_e^top(x') = mu^top(x') + cov(f_top(x'), y(x,s)) / var(y(x,s)) * (y_e - mu(x,s)).
+
+The cross-fidelity covariance ``cov(f_top(x'), f_s(x))`` comes from the
+model's coupling structure (for the rho-residual cascade,
+``prod_{j>=s} rho_j * cov_s(x', x)``).  On the FINAL budget iteration there
+is no future query, so V_e = incumbent_e — which forces the last query to
+the top fidelity at the expected-improvement argmax, exactly the cash-in
+the protocol's metric demands.
+
+The score is ``(E_e[V_e] - V_now) / cost(s)``.  ``retrain_gain`` keeps the
+reference's retrain-per-candidate semantics (append + full posterior
+recompute) for approximation-parity tests (tests/test_strategies.py).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def fantasy_gain(
-    mean_fn: Callable,
-    var_fn: Callable,
-    cov_fn: Callable,
-    x_cand: jnp.ndarray,
-    s: int,
-    x_grid: jnp.ndarray,
+def best_observed_kg_scores(
+    mu_top: jnp.ndarray,
+    mu_s: jnp.ndarray,
+    cov_s: jnp.ndarray,
+    cross_scale: float,
+    incumbent: float,
     cost_s: float,
+    is_top: bool,
+    is_last: bool,
+    n_draws: int = 24,
+    key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """KG score of candidate x_cand at fidelity s over a reference grid.
+    """Vectorized best-observed KG score for every grid point as the
+    candidate, at one fidelity s.
 
-    ``cov_fn(a, b, s) -> (n_a, n_b)`` posterior cross-covariance at
-    fidelity s.  The fantasy update conditions the top-fidelity posterior
-    mean on observing y(x_cand, s) = mu(x_cand, s):  because the imagined
-    value equals the current mean, the updated *mean* is unchanged in
-    expectation; KG therefore uses the expected max over the fantasy
-    distribution (Gaussian with the posterior covariance row):
-
-        mu+(x') = mu(x') + cov(x', x_c) / (var(x_c)+eps) * eps_draw * std
+    mu_top: (n,) top-fidelity posterior mean over the grid.
+    mu_s: (n,) fidelity-s posterior mean over the grid.
+    cov_s: (n, n) fidelity-s posterior covariance over the grid;
+        column i is cov(f_s(grid), f_s(x_i)).
+    cross_scale: scalar c with cov(f_top(x'), f_s(x)) = c * cov_s(x', x)
+        (rho-chain product for AR/ResGP cascades; 1.0 at the top).
+    Returns (n,) per-cost KG scores (candidate i = grid point i).
     """
-    mu_grid = mean_fn(x_grid, s).reshape(-1)
-    var_c = var_fn(x_cand, s).reshape(-1)[0]
-    cov_row = cov_fn(x_grid, x_cand, s).reshape(-1)
-    std_c = jnp.sqrt(jnp.maximum(var_c, 1e-12))
-    weights = cov_row / jnp.maximum(var_c, 1e-12)
+    n = mu_top.shape[0]
+    key = key if key is not None else jax.random.PRNGKey(0)
+    eps = jax.random.normal(key, (n_draws,))
+    var_c = jnp.maximum(jnp.diagonal(cov_s), 1e-10)  # (n,)
+    std_c = jnp.sqrt(var_c)
+    # Kalman rows: w[:, i] = cross_scale * cov_s[:, i] / var_c[i]
+    w = cross_scale * cov_s / var_c[None, :]
+    # fantasy top means: mu_plus[e, :, i] = mu_top + eps_e * std_c[i] * w[:, i]
+    # max over the grid axis for each (draw, candidate):
+    #   max_x' mu_top(x') + eps_e std_i w[x', i]
+    def per_draw(e):
+        shifted = mu_top[:, None] + e * std_c[None, :] * w  # (n_grid, n_cand)
+        best_mu = jnp.max(shifted, axis=0)  # (n_cand,)
+        if is_top:
+            y_draw = mu_s + e * std_c  # observed top draw at each candidate
+            inc = jnp.maximum(incumbent, y_draw)
+        else:
+            inc = jnp.full((n,), incumbent)
+        if is_last:
+            return inc
+        return jnp.maximum(inc, best_mu)
 
-    # expected-max over K fantasy draws of the observation noise
-    key = jax.random.PRNGKey(0)
-    eps = jax.random.normal(key, (16,))
-    fantasized = mu_grid[None, :] + eps[:, None] * std_c * weights[None, :]
-    exp_max = jnp.mean(jnp.max(fantasized, axis=1))
-    base_max = jnp.max(mu_grid)
-    return (exp_max - base_max) / cost_s
+    vals = jax.vmap(per_draw)(eps)  # (K, n_cand)
+    base = incumbent if is_last else jnp.maximum(incumbent, jnp.max(mu_top))
+    return (jnp.mean(vals, axis=0) - base) / cost_s
+
+
+def cfkg_select(
+    mean_fn: Callable,
+    cov_full_fn: Callable,
+    cross_scale_fn: Callable[[int], float],
+    bounds: np.ndarray,
+    fidelity_num: int,
+    cost_fn: Callable[[int], float],
+    incumbent: float,
+    key: jax.Array,
+    n_candidates: int = 64,
+    is_last: bool = False,
+    n_draws: int = 24,
+) -> Tuple[np.ndarray, int]:
+    """Random-candidate cfKG argmax over (x, s) (`CFKG.py:80-140` shape):
+    sample a grid of candidates; score every (candidate, fidelity) pair by
+    the per-cost best-observed KG; return the best pair.
+
+    mean_fn(x, s) -> (n,) posterior mean; cov_full_fn(x, s) -> (n, n)
+    posterior covariance at fidelity s; cross_scale_fn(s) -> scalar c with
+    cov(f_top(x'), f_s(x)) = c * cov_s(x', x).
+    """
+    bounds = np.asarray(bounds, float)
+    d = bounds.shape[0]
+    kx, ke = jax.random.split(key)
+    xs = jax.random.uniform(kx, (n_candidates, d)) * (
+        bounds[:, 1] - bounds[:, 0]
+    ) + bounds[:, 0]
+    xs = jnp.asarray(xs, jnp.float32)
+
+    top = fidelity_num - 1
+    mu_top = mean_fn(xs, top).reshape(-1)
+    best_score, best_i, best_s = -np.inf, 0, top
+    for s in range(fidelity_num):
+        mu_s = mu_top if s == top else mean_fn(xs, s).reshape(-1)
+        cov_s = cov_full_fn(xs, s)
+        scores = best_observed_kg_scores(
+            mu_top,
+            mu_s,
+            cov_s,
+            float(cross_scale_fn(s)),
+            float(incumbent),
+            float(cost_fn(s + 1)),
+            is_top=(s == top),
+            is_last=is_last,
+            n_draws=n_draws,
+            key=ke,
+        )
+        i = int(jnp.argmax(scores))
+        v = float(scores[i])
+        if v > best_score:
+            best_score, best_i, best_s = v, i, s
+    return np.asarray(xs[best_i : best_i + 1]), best_s
 
 
 def retrain_gain(
@@ -100,35 +194,31 @@ def retrain_gain(
     return float((exp_max - base_max) / cost_s)
 
 
-def cfkg_select(
+def fantasy_gain(
     mean_fn: Callable,
     var_fn: Callable,
     cov_fn: Callable,
-    bounds: np.ndarray,
-    fidelity_num: int,
-    cost_fn: Callable[[int], float],
-    key: jax.Array,
-    n_candidates: int = 50,
-) -> Tuple[np.ndarray, int]:
-    """Random-candidate cfKG argmax over (x, s) (`CFKG.py:80-140`):
-    sample candidates uniformly; for each fidelity score the per-cost
-    fantasy gain over the same candidate set; return the best pair."""
-    bounds = np.asarray(bounds, float)
-    d = bounds.shape[0]
-    xs = jax.random.uniform(key, (n_candidates, d)) * (
-        bounds[:, 1] - bounds[:, 0]
-    ) + bounds[:, 0]
-    xs = jnp.asarray(xs, jnp.float32)
+    x_cand: jnp.ndarray,
+    s: int,
+    x_grid: jnp.ndarray,
+    cost_s: float,
+) -> jnp.ndarray:
+    """Single-fidelity fantasy KG over a grid (per-cost gain in the max
+    posterior mean at fidelity s) — the rank-1 analogue of `retrain_gain`,
+    kept as the approximation-parity counterpart for tests.
 
-    best = (-np.inf, None, None)
-    for s in range(fidelity_num):
-        c = float(cost_fn(s + 1))
-        for i in range(n_candidates):
-            g = float(
-                fantasy_gain(
-                    mean_fn, var_fn, cov_fn, xs[i : i + 1], s, xs, c
-                )
-            )
-            if g > best[0]:
-                best = (g, np.asarray(xs[i : i + 1]), s)
-    return best[1], best[2]
+    ``cov_fn(a, b, s) -> (n_a, n_b)`` posterior cross-covariance at
+    fidelity s.
+    """
+    mu_grid = mean_fn(x_grid, s).reshape(-1)
+    var_c = var_fn(x_cand, s).reshape(-1)[0]
+    cov_row = cov_fn(x_grid, x_cand, s).reshape(-1)
+    std_c = jnp.sqrt(jnp.maximum(var_c, 1e-12))
+    weights = cov_row / jnp.maximum(var_c, 1e-12)
+
+    key = jax.random.PRNGKey(0)
+    eps = jax.random.normal(key, (16,))
+    fantasized = mu_grid[None, :] + eps[:, None] * std_c * weights[None, :]
+    exp_max = jnp.mean(jnp.max(fantasized, axis=1))
+    base_max = jnp.max(mu_grid)
+    return (exp_max - base_max) / cost_s

@@ -48,6 +48,7 @@ def mf_bo_discrete(
     gamma: Optional[List[float]] = None,
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
+    init_data=None,
 ) -> Dict[str, List]:
     """Discrete multi-fidelity BO (`MF_BO_discrete.py:33-152`).
 
@@ -57,6 +58,11 @@ def mf_bo_discrete(
     ``checkpoint_path`` enables resume: the record + datasets are persisted
     after every iteration and reloaded on restart (capability the reference
     lacks — its only checkpoint is the NaN-rollback snapshot, SURVEY.md §5.4).
+
+    ``init_data`` — optional ``(xs, ys)`` lists of per-fidelity arrays to
+    use as the initial design instead of ``objective.initiate_data`` (used
+    by the head-to-head scripts to inject the reference's exact draw so
+    both frameworks start from identical datasets).
     """
     from fidelityfusion_tpu.utils.checkpoint import load_bo_state, save_bo_state
     import os
@@ -69,6 +75,10 @@ def mf_bo_discrete(
         xs, ys = list(xs), list(ys)
         if verbose:
             print(f"resumed from {checkpoint_path} at iteration {len(record['S'])}")
+    elif init_data is not None:
+        xs = [np.asarray(x, np.float32) for x in init_data[0]]
+        ys = [np.asarray(y, np.float32).reshape(len(x), -1)
+              for x, y in zip(xs, init_data[1])]
     else:
         xs, ys = objective.initiate_data(init_index, seed)
     key = jax.random.PRNGKey(seed)
@@ -121,25 +131,40 @@ def mf_bo_discrete(
             def cost_fn(s1):
                 return float(objective.cost.compute_cost(s1))
 
+            def cross_scale_fn(s, model=model):
+                # cov(f_top(x'), f_s(x)) = (prod_{j>=s} rho_j) cov_s(x', x)
+                # for the rho-residual cascade (AR; ResGP has rho = 1;
+                # models without rho treated as perfectly coupled).
+                rhos = model.params.get("rho") if hasattr(model, "params") \
+                    else None
+                if not rhos:
+                    return 1.0
+                prod = 1.0
+                for j in range(s, fidelity_num - 1):
+                    prod *= float(rhos[j])
+                return prod
+
+            is_last = it == bo_iterations - 1
+            incumbent = float(np.max(ys[-1]))
             if method == "ES":
                 strat = MFESStrategy(
                     objective.x_dim, fidelity_num, posterior_fn,
-                    cost_fn=cost_fn, seed=seed + 31 * it, bounds=bounds,
+                    cost_fn=cost_fn, cross_scale_fn=cross_scale_fn,
+                    seed=seed + 31 * it, is_last=is_last, bounds=bounds,
                 )
             else:
-                def cov_fn(a, b, s, model=model, dm=dm):
-                    both = jnp.concatenate(
-                        [jnp.asarray(a, jnp.float32),
-                         jnp.asarray(b, jnp.float32)], axis=0)
-                    _, c = model.forward(dm, both, to_fidelity=s)
-                    return c[: a.shape[0], a.shape[0]:]
+                def cov_full_fn(x, s, model=model, dm=dm):
+                    _, c = model.forward(
+                        dm, jnp.asarray(x, jnp.float32), to_fidelity=s)
+                    c = jnp.asarray(c)
+                    return c if c.ndim == 2 else jnp.diag(c.reshape(-1))
 
                 strat = CFKGStrategy(
                     objective.x_dim, fidelity_num,
                     lambda x, s: posterior_fn(x, s)[0],
-                    lambda x, s: posterior_fn(x, s)[1],
-                    cov_fn, cost_fn=cost_fn, seed=seed + 77 * it,
-                    bounds=bounds, n_candidates=20,
+                    cov_full_fn, cost_fn=cost_fn, incumbent=incumbent,
+                    cross_scale_fn=cross_scale_fn, seed=seed + 77 * it,
+                    bounds=bounds, n_candidates=64, is_last=is_last,
                 )
             new_x, new_s = strat.compute_next()
             new_x = np.asarray(new_x, np.float32).reshape(1, -1)

@@ -12,13 +12,21 @@ posterior closures and returns the next ``(x, fidelity)`` query.
   ``cost_i / (sigma^2_before - sigma^2_after)`` with a caller-supplied
   one-step retrain closure (`v1/MF_EI.py:55-97`).
 * `MFESStrategy` — entropy search (`v1/MF_ES.py:8-98`, `v1/ES.py:25-178`).
-  The reference approximates p_min with emukit's EPMGP; here p_min is
+  The reference approximates p_min with emukit's EPMGP; here p(argmax) is
   estimated by MC Thompson sampling over a candidate grid (diagonal
-  posterior), and the acquisition is the expected reduction in the p_min
-  entropy from fantasized observations — a self-contained replacement for
-  the emukit dependency.
-* `CFKGStrategy` — per-cost one-step-lookahead knowledge gradient
-  (`v1/CFKG.py:12-150`) via the fantasy-update scorer in `bo/cfkg.py`.
+  posterior), and the acquisition is the expected reduction in its entropy
+  from fantasized observations — a self-contained replacement for the
+  emukit dependency.  Fidelity selection is the information-gap rule the
+  reference family derives from BOCA (`Continuous/MF_UCB_optimise.py:42-58`
+  and `v1/MF_ES.py:49-87`): query the cheapest fidelity whose posterior
+  std at the chosen x still exceeds gamma(s) = sqrt(k0) * xi(s) *
+  (cost(s)/cost(top))^q with xi(s) = sqrt(1 - corr(f_s, f_top)^2); once
+  every cheap fidelity is resolved below its gamma, query the top.  (The
+  reference's shipped discrete rule degenerates to "always top":
+  `v1/MF_ES.py:84-87` maps any z >= 0.02 to fidelity 2.)
+* `CFKGStrategy` — per-cost knowledge gradient on the best-observed
+  objective (`v1/CFKG.py:12-150`; fidelity hardcoded to top there) via the
+  cross-fidelity fantasy scorer in `bo/cfkg.py`.
 """
 
 from __future__ import annotations
@@ -148,20 +156,25 @@ class MFESStrategy:
         fidelity_num: int,
         posterior_fn: Callable,
         cost_fn: Callable[[int], float],
+        cross_scale_fn: Optional[Callable[[int], float]] = None,
         seed: int = 0,
         n_candidates: int = 64,
         n_mc: int = 64,
-        gamma: float = 0.01,
+        is_last: bool = False,
         bounds: Optional[np.ndarray] = None,
     ):
+        """``cross_scale_fn(s) -> c`` with cov(f_top(x), f_s(x)) =
+        c * var_s(x) (rho-chain product for residual cascades); used by
+        the information-gap xi(s).  Defaults to 1 (perfectly coupled)."""
         self.x_dimension = x_dimension
         self.fidelity_num = fidelity_num
         self.posterior_fn = posterior_fn
         self.cost_fn = cost_fn
+        self.cross_scale_fn = cross_scale_fn or (lambda s: 1.0)
         self.seed = seed
         self.n_candidates = n_candidates
         self.n_mc = n_mc
-        self.gamma = gamma
+        self.is_last = is_last
         self.bounds = (
             np.asarray(bounds, float)
             if bounds is not None
@@ -169,12 +182,14 @@ class MFESStrategy:
         )
 
     @staticmethod
-    def _pmin_entropy(mean, std, key, n_mc):
-        """MC estimate of the entropy of p(argmin) over the grid."""
+    def _pmax_entropy(mean, std, key, n_mc):
+        """MC estimate of the entropy of p(argmax) over the grid (the
+        protocol maximizes; the reference's EPMGP tracks the minimizer of
+        the negated objective — same quantity)."""
         eps = jax.random.normal(key, (n_mc,) + mean.shape)
         samples = mean[None, :] + std[None, :] * eps
-        mins = jnp.argmin(samples, axis=1)
-        counts = jnp.bincount(mins, length=mean.shape[0]) + 1e-3
+        maxs = jnp.argmax(samples, axis=1)
+        counts = jnp.bincount(maxs, length=mean.shape[0]) + 1e-3
         p = counts / jnp.sum(counts)
         return -jnp.sum(p * jnp.log(p))
 
@@ -188,25 +203,58 @@ class MFESStrategy:
         mean, var = self.posterior_fn(xs, top)
         mean = mean.reshape(-1)
         std = jnp.sqrt(jnp.maximum(var.reshape(-1), 1e-12))
-        h0 = self._pmin_entropy(mean, std, k2, self.n_mc)
+
+        if self.is_last:
+            # final budget iteration: information has no remaining value
+            # under the best-observed metric — cash in at the posterior
+            # argmax, top fidelity.
+            j_star = int(jnp.argmax(mean))
+            return np.asarray(xs[j_star]).reshape(1, -1), top
+
+        h0 = self._pmax_entropy(mean, std, k2, self.n_mc)
 
         # expected entropy after observing candidate j ~= entropy with the
         # candidate's std collapsed (cheap one-step surrogate of EPMGP's
         # innovation path, `v1/ES.py:155-177`)
         def h_after(j):
             std_new = std.at[j].set(std[j] * 0.1)
-            return self._pmin_entropy(mean, std_new, k3, self.n_mc)
+            return self._pmax_entropy(mean, std_new, k3, self.n_mc)
 
-        gains = jnp.asarray([h0 - h_after(j) for j in range(self.n_candidates)])
-        j_star = int(jnp.argmax(gains))
+        gains = jax.vmap(h_after)(jnp.arange(self.n_candidates))
+        j_star = int(jnp.argmin(gains))  # min residual entropy = max gain
         new_x = np.asarray(xs[j_star]).reshape(1, -1)
-        # information-gap fidelity rule (`v1/MF_ES.py:38-93`): use the
-        # cheapest fidelity whose variance at new_x is still informative
-        for s in range(self.fidelity_num):
-            _, v = self.posterior_fn(jnp.asarray(new_x, jnp.float32), s)
-            if float(jnp.max(v)) > self.gamma:
-                return new_x, s
-        return new_x, top
+        new_s = self._information_gap_fidelity(new_x, float(jnp.max(std)))
+        return new_x, new_s
+
+    def _information_gap_fidelity(self, new_x, std_scale) -> int:
+        """BOCA-family fidelity rule (`Continuous/MF_UCB_optimise.py:42-58`,
+        `v1/MF_ES.py:49-87`): gamma(s) = sqrt(k0) * xi(s) *
+        (cost(s)/cost(top))^q, xi(s) = sqrt(1 - corr(f_s, f_top)^2),
+        q = 1/(p + d + 2) with p = 1.  Query the cheapest fidelity whose
+        posterior std at new_x exceeds gamma(s); if every cheaper fidelity
+        is resolved, query the top."""
+        top = self.fidelity_num - 1
+        xj = jnp.asarray(new_x, jnp.float32)
+        q = 1.0 / (1 + self.x_dimension + 2)
+        k0 = max(std_scale, 1e-6) ** 2
+        _, v_top = self.posterior_fn(xj, top)
+        v_top = float(jnp.max(v_top))
+        cost_top = float(self.cost_fn(top + 1))
+        for s in range(top):
+            _, v_s = self.posterior_fn(xj, s)
+            v_s = float(jnp.max(v_s))
+            c = float(self.cross_scale_fn(s))
+            denom = math.sqrt(max(v_s * v_top, 1e-18))
+            corr = min(abs(c) * v_s / denom, 1.0) if denom > 0 else 0.0
+            xi = math.sqrt(max(1.0 - corr**2, 0.0))
+            gamma_s = (
+                math.sqrt(k0)
+                * xi
+                * (float(self.cost_fn(s + 1)) / cost_top) ** q
+            )
+            if math.sqrt(max(v_s, 0.0)) > gamma_s:
+                return s
+        return top
 
 
 class CFKGStrategy:
@@ -215,18 +263,30 @@ class CFKGStrategy:
         x_dimension: int,
         fidelity_num: int,
         mean_fn: Callable,
-        var_fn: Callable,
-        cov_fn: Callable,
+        cov_full_fn: Callable,
         cost_fn: Callable[[int], float],
+        incumbent: float,
+        cross_scale_fn: Optional[Callable[[int], float]] = None,
         seed: int = 0,
-        n_candidates: int = 40,
+        n_candidates: int = 64,
+        is_last: bool = False,
         bounds: Optional[np.ndarray] = None,
     ):
-        self.args = (mean_fn, var_fn, cov_fn)
+        """``mean_fn(x, s) -> (n,)``; ``cov_full_fn(x, s) -> (n, n)``
+        posterior covariance at fidelity s; ``cross_scale_fn(s) -> c`` with
+        cov(f_top(x'), f_s(x)) = c * cov_s(x', x) (rho-chain product for
+        residual cascades, 1 for ResGP); ``incumbent`` = max observed
+        top-fidelity y; ``is_last`` marks the final budget iteration (no
+        future query to cash information in — see bo/cfkg.py)."""
+        self.mean_fn = mean_fn
+        self.cov_full_fn = cov_full_fn
+        self.cross_scale_fn = cross_scale_fn or (lambda s: 1.0)
         self.fidelity_num = fidelity_num
         self.cost_fn = cost_fn
+        self.incumbent = incumbent
         self.seed = seed
         self.n_candidates = n_candidates
+        self.is_last = is_last
         self.bounds = (
             np.asarray(bounds, float)
             if bounds is not None
@@ -234,14 +294,15 @@ class CFKGStrategy:
         )
 
     def compute_next(self) -> Tuple[np.ndarray, int]:
-        mean_fn, var_fn, cov_fn = self.args
         return cfkg_select(
-            mean_fn,
-            var_fn,
-            cov_fn,
+            self.mean_fn,
+            self.cov_full_fn,
+            self.cross_scale_fn,
             self.bounds,
             self.fidelity_num,
             self.cost_fn,
+            self.incumbent,
             jax.random.PRNGKey(self.seed + 77),
             n_candidates=self.n_candidates,
+            is_last=self.is_last,
         )

@@ -36,7 +36,12 @@ import jax.numpy as jnp
 
 from fidelityfusion_tpu.ops import linalg
 from fidelityfusion_tpu.ops.kernels import Kernel
-from fidelityfusion_tpu.ops.kron import eigh_pairs, multi_mode_dot, rank1_tucker
+from fidelityfusion_tpu.ops.kron import (
+    eigh_pairs,
+    kron_nlml,
+    multi_mode_dot,
+    rank1_tucker,
+)
 
 JITTER = linalg.JITTER
 
@@ -150,8 +155,22 @@ class HOGP:
         )
         return loss, state
 
+    def _grams(self, params, x_train, y_var=None):
+        kp = params["kernel"]
+        K0 = self.kernel.apply(kp, x_train, x_train)
+        if y_var is not None:
+            K0 = K0 + jnp.diag(y_var)
+        K0 = K0 + self.jitter * jnp.eye(K0.shape[0], dtype=K0.dtype)
+        K_modes = [self.kernel.apply(kp, g, g) for g in self.grids(params)]
+        return K0, K_modes
+
     def nll(self, params, x_train, y_train, y_var=None) -> jnp.ndarray:
-        return self.nll_with_state(params, x_train, y_train, y_var)[0]
+        """Training-loop NLML: same value as ``nll_with_state`` but through
+        the custom-VJP Kronecker NLML (`ops/kron.py:kron_nlml`), whose
+        backward reuses the forward eigenpairs — mode-product GEMMs only,
+        no second eigh (the `hogp1024` backward bottleneck)."""
+        K0, K_modes = self._grams(params, x_train, y_var)
+        return kron_nlml(tuple([K0] + K_modes), y_train, self.noise(params))
 
     def predict(
         self,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,6 +44,86 @@ def eigh_pairs(K: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """
     w, v = jnp.linalg.eigh(K)
     return w, v
+
+
+@jax.custom_vjp
+def kron_nlml(Ks: Tuple[jnp.ndarray, ...], y: jnp.ndarray, noise: jnp.ndarray):
+    """Element-normalized NLML of a Kronecker-structured GP,
+
+        Sigma = K_0 (x) K_1 (x) ... (x) K_M + noise * I,
+        loss  = 0.5 (nd log 2pi + sum log A + vec(y)^T Sigma^-1 vec(y)) / nd,
+
+    with a CUSTOM VJP that reuses the forward's per-mode eigenpairs: the
+    gradient w.r.t. each mode Gram is the closed form
+
+        dL/dK_m = 0.5/nd * V_m (diag(w_m) - B_m) V_m^T,
+        w_m[i]  = sum_{other idx} (1/A) prod_{j!=m} lambda_j[i_j],
+        B_m     = G_m G_m^T,  G_m = unfold_m(beta * (x)_{j!=m} sqrt(lambda_j)),
+        beta    = (V^T y) / A,
+
+    so the backward pass is mode-product GEMMs only — no second eigh and no
+    eigenvector-derivative (F-matrix) chain.  Autodiff through
+    ``jnp.linalg.eigh`` instead pays the F-matrix assembly plus extra dense
+    GEMMs per mode (the `hogp1024` bottleneck flagged in VERDICT round 2;
+    reference hot path: `GaussianProcess/hogp_simple.py:73-113`).
+    """
+    loss, _ = _kron_nlml_fwd(Ks, y, noise)
+    return loss
+
+
+def _kron_nlml_eigs(Ks, y, noise):
+    eigvals, eigvecs = [], []
+    for K in Ks:
+        lam, V = jnp.linalg.eigh(K)
+        eigvals.append(lam)
+        eigvecs.append(V)
+    A = rank1_tucker(eigvals) + noise
+    T1 = multi_mode_dot(y, [V.T for V in eigvecs])
+    return eigvals, eigvecs, A, T1
+
+
+def _kron_nlml_fwd(Ks, y, noise):
+    eigvals, eigvecs, A, T1 = _kron_nlml_eigs(Ks, y, noise)
+    nd = float(jnp.size(y))
+    quad = jnp.sum(T1**2 / A)
+    loss = 0.5 * (nd * jnp.log(2.0 * jnp.pi) + jnp.sum(jnp.log(A)) + quad)
+    loss = loss / nd
+    return loss, (tuple(eigvals), tuple(eigvecs), A, T1)
+
+
+def _kron_nlml_bwd(res, t):
+    eigvals, eigvecs, A, T1 = res
+    nd = float(jnp.size(T1))
+    U = 1.0 / A
+    beta = T1 * U
+    M1 = len(eigvals)
+    scale = t * 0.5 / nd
+
+    sqrt_lams = [jnp.sqrt(jnp.maximum(lam, 0.0)) for lam in eigvals]
+    dKs = []
+    for m in range(M1):
+        # w_m: contract U with the other modes' eigenvalues
+        others = [i for i in range(M1) if i != m]
+        w = multi_mode_dot(
+            U, [eigvals[j].reshape(1, -1) for j in others], modes=others
+        )
+        w = w.reshape(-1)  # (d_m,)
+        # B_m = G G^T with G = unfold_m(beta * (x)_{j!=m} sqrt(lam_j))
+        gamma = beta * rank1_tucker(
+            [sqrt_lams[j] if j != m else jnp.ones_like(sqrt_lams[j])
+             for j in range(M1)]
+        )
+        G = jnp.moveaxis(gamma, m, 0).reshape(gamma.shape[m], -1)
+        B = G @ G.T
+        V = eigvecs[m]
+        dKs.append(scale * (V @ ((w[:, None] * V.T) - (B @ V.T))))
+    # dy = Sigma^-1 y / nd = multi_mode_dot(beta, Vs) / nd
+    dy = (t / nd) * multi_mode_dot(beta, list(eigvecs))
+    dnoise = scale * (jnp.sum(U) - jnp.sum(beta**2))
+    return tuple(dKs), dy, jnp.asarray(dnoise, A.dtype)
+
+
+kron_nlml.defvjp(_kron_nlml_fwd, _kron_nlml_bwd)
 
 
 def rank1_tucker(factors: Sequence[jnp.ndarray]) -> jnp.ndarray:
