@@ -29,33 +29,29 @@ import subprocess
 import sys
 import time
 
-# Most recent recorded on-chip measurements (TPU v5e, this host), used as
-# fallback when a stage cannot run (see BASELINE.md):
+# Most recent DRIVER-captured on-chip measurements (TPU v5e, this host;
+# BENCH_r02.json), used as fallback when a stage cannot run.  Policy since
+# round 3: fallbacks are synced to the latest driver capture, never to
+# builder-side best-case runs (the round-1/2 claim-drift failure mode).
 RECORDED = {
-    "nlml300": 6289.0,        # steps/s (live 2026-08-17)
-    "nlml1024": 1899.0,       # steps/s (live 2026-08-17)
-    "nlml4096": 86.2,         # steps/s (live 2026-08-18)
-    "nlml1024_fused": 2637.0,  # steps/s (live 2026-08-19 r2, se-analytic)
-    "nlml4096_fused": 203.0,   # steps/s (live 2026-08-19 r2, se-analytic;
-                               # 91% of the measured-primitive bound,
-                               # BASELINE.md derivation)
-    "restarts": 2930.0,       # aggregate steps/s, R=32 n=1024 (live
-                              # 2026-08-19 r2: "high"-precision
-                              # factorization + default-precision
-                              # gradient GEMM — 98% of the unsafe
-                              # all-bf16 2993)
-    "chol4096": 10.1,         # TFLOP/s (live 2026-08-17, XLA)
-    "gram4096": 0.15,         # ms (live 2026-08-19 r2, XLA ARD gram with
-                              # the full-precision cross term — the bf16
-                              # 0.04-ms version produced indefinite Grams)
-    "pallas_chol4096": float("nan"),
-    "pallas_gram4096": 0.04,   # ms (live 2026-08-19 r2: BEATS the
-                               # precision-correct XLA gram 3.7x — VMEM
-                               # f32 quadratic expansion)
-    "hogp128": float("nan"),      # steps/s, n=128 (32,32) fields
-    "hogp1024": float("nan"),     # steps/s, n=1024 (32,32,32) fields
-    "eigh1024": float("nan"),     # ms, one 1024x1024 symmetric eigh
-    "modedot1024": float("nan"),  # ms, (1024,32,32,32) multi-mode-dot chain
+    "nlml300": 5365.0,        # steps/s (driver r2)
+    "nlml1024": 1560.0,       # steps/s (driver r2)
+    "nlml4096": 54.4,         # steps/s (driver r2)
+    "nlml1024_fused": 2686.0,  # steps/s (driver r2, se-analytic)
+    "nlml4096_fused": 201.6,   # steps/s (driver r2, se-analytic; 91% of
+                               # the measured-primitive bound, BASELINE.md)
+    "restarts": 2782.0,       # aggregate steps/s, R=32 n=1024 (driver r2)
+    "chol4096": 10.4,         # TFLOP/s (driver r2, XLA)
+    "gram4096": 0.19,         # ms (driver r2, XLA ARD gram, full-precision
+                              # cross term — bf16 grams are indefinite)
+    "pallas_gram4096": 0.13,   # ms (driver r2: beats the precision-correct
+                               # XLA gram 1.5x; now the production TPU path
+                               # in ops/fused_se.py:_se_sigma_parts)
+    "hogp128": 1847.0,        # steps/s, n=128 (32,32) fields (driver r2)
+    "hogp1024": 17.7,         # steps/s, n=1024 (32,32,32) fields (driver
+                              # r2; pre custom-VJP)
+    "eigh1024": 9.67,         # ms, one 1024x1024 symmetric eigh (driver r2)
+    "modedot1024": 1.11,      # ms, (1024,32,32,32) mode-dot chain (driver r2)
 }
 REF_STEPS_PER_S_N1024 = 16.1  # torch-CPU measured (BASELINE.md)
 
@@ -95,18 +91,30 @@ def _watchdog(seconds=420):
     faulthandler.dump_traceback_later(seconds, exit=True)
 
 
-def _chain_time(make_fn, L1, L2, reps=3):
+def _chain_time(make_fn, L1, L2, reps=5):
+    """Median-of-``reps`` chain-difference per-step time.
+
+    Each rep produces one independent (t_long - t_short)/(L2 - L1)
+    estimate; the MEDIAN is reported and the min/max spread is logged so
+    point claims carry their variance (round-2 verdict: single-shot
+    numbers over the noisy tunnel drifted between builder and driver
+    captures)."""
     f1, f2 = make_fn(L1), make_fn(L2)
     float(f1())
     float(f2())
 
-    def t(f):
+    def once(f):
         t0 = time.time()
-        for _ in range(reps):
-            float(f())
-        return (time.time() - t0) / reps
+        float(f())
+        return time.time() - t0
 
-    return (t(f2) - t(f1)) / (L2 - L1)
+    diffs = sorted(
+        (once(f2) - once(f1)) / (L2 - L1) for _ in range(reps)
+    )
+    med = diffs[len(diffs) // 2]
+    log(f"[spread] per-step s: median {med:.3e} "
+        f"min {diffs[0]:.3e} max {diffs[-1]:.3e} (n={reps})")
+    return med
 
 
 def stage_nlml(n: int):
@@ -282,37 +290,11 @@ def stage_gram():
     return per * 1e3
 
 
-def stage_pallas_chol():
-    _watchdog(450)
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
-    from fidelityfusion_tpu.ops.pallas_cholesky import cholesky_blocked
-
-    nc = 4096
-    rng = np.random.default_rng(0)
-    A = rng.random((nc, 64)).astype(np.float32)
-    K = A @ A.T + nc * np.eye(nc, dtype=np.float32)  # host-side
-
-    def mk(L):
-        def fn():
-            def body(c, _):
-                # block=256: the (n x B) VMEM panel at B=512 overflows the
-                # 16 MB scoped-vmem limit at n=4096
-                Lc = cholesky_blocked(jnp.asarray(K) + (c * 1e-9) * jnp.eye(nc), block=256)
-                return jnp.sum(Lc) * 1e-9, ()
-
-            out, _ = jax.lax.scan(body, 0.0, None, length=L)
-            return out
-
-        return jax.jit(fn)
-
-    per = _chain_time(mk, 1, 6)
-    return (nc**3 / 3.0) / per / 1e12
-
-
 def stage_pallas_gram():
+    """The production Pallas gram (ops/fused_se.py TPU path).  Gated by an
+    on-chip accuracy check against the HIGHEST-precision XLA gram before
+    timing — a fast-but-wrong kernel must fail the stage, not set a
+    record."""
     _watchdog(420)
     import numpy as np
     import jax
@@ -323,6 +305,14 @@ def stage_pallas_gram():
 
     xg = np.random.default_rng(0).random((4096, 8)).astype(np.float32)
     ap = _ard_params(8)
+
+    ard = ARDKernel()
+    want = ard.apply(ap, xg[:512], xg[:512]) + (0.1 + 1e-6) * jnp.eye(512)
+    got = gram_sigma_ard(ap, xg[:512], 0.1, block=256)
+    err = float(jnp.max(jnp.abs(got - want)))
+    log(f"[pallas_gram] on-chip max|pallas - xla_highest| = {err:.2e}")
+    if not err < 1e-4:
+        raise RuntimeError(f"pallas gram accuracy gate failed: {err}")
 
     def mk(L):
         def fn():
@@ -487,7 +477,6 @@ STAGES = {
     "restarts": stage_restarts,
     "chol4096": stage_chol,
     "gram4096": stage_gram,
-    "pallas_chol4096": stage_pallas_chol,
     "pallas_gram4096": stage_pallas_gram,
     "hogp128": lambda: stage_hogp(128, (32, 32)),
     "hogp1024": lambda: stage_hogp(1024, (32, 32, 32)),
@@ -583,7 +572,7 @@ def run_monolithic(timeout: int = 1500):
 
 STAGE_ORDER = (
     "nlml300", "nlml1024", "nlml4096", "nlml1024_fused", "nlml4096_fused",
-    "restarts", "chol4096", "gram4096", "pallas_chol4096", "pallas_gram4096",
+    "restarts", "chol4096", "gram4096", "pallas_gram4096",
     "hogp128", "hogp1024", "eigh1024", "modedot1024",
 )
 
@@ -613,7 +602,7 @@ def main():
         "nlml300": "steps/s", "nlml1024": "steps/s", "nlml4096": "steps/s",
         "nlml1024_fused": "steps/s", "nlml4096_fused": "steps/s",
         "restarts": "agg steps/s", "chol4096": "TFLOP/s", "gram4096": "ms",
-        "pallas_chol4096": "TFLOP/s", "pallas_gram4096": "ms",
+        "pallas_gram4096": "ms",
         "hogp128": "steps/s", "hogp1024": "steps/s",
         "eigh1024": "ms", "modedot1024": "ms",
     }

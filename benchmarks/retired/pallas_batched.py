@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from fidelityfusion_tpu.ops.pallas_cholesky import _chol_unblocked, _tri_inv_lower
+from benchmarks.retired.pallas_cholesky import _chol_unblocked, _tri_inv_lower
 
 LOG2PI = 1.8378770664093453
 
