@@ -44,9 +44,6 @@ RECORDED = {
     "chol4096": 10.4,         # TFLOP/s (driver r2, XLA)
     "gram4096": 0.19,         # ms (driver r2, XLA ARD gram, full-precision
                               # cross term — bf16 grams are indefinite)
-    "pallas_gram4096": 0.13,   # ms (driver r2: beats the precision-correct
-                               # XLA gram 1.5x; now the production TPU path
-                               # in ops/fused_se.py:_se_sigma_parts)
     "hogp128": 1847.0,        # steps/s, n=128 (32,32) fields (driver r2)
     "hogp1024": 17.7,         # steps/s, n=1024 (32,32,32) fields (driver
                               # r2; pre custom-VJP)
@@ -290,45 +287,6 @@ def stage_gram():
     return per * 1e3
 
 
-def stage_pallas_gram():
-    """The production Pallas gram (ops/fused_se.py TPU path).  Gated by an
-    on-chip accuracy check against the HIGHEST-precision XLA gram before
-    timing — a fast-but-wrong kernel must fail the stage, not set a
-    record."""
-    _watchdog(420)
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
-    from fidelityfusion_tpu.ops.pallas_gram import gram_sigma_ard
-    from fidelityfusion_tpu.ops.kernels import ARDKernel
-
-    xg = np.random.default_rng(0).random((4096, 8)).astype(np.float32)
-    ap = _ard_params(8)
-
-    ard = ARDKernel()
-    want = ard.apply(ap, xg[:512], xg[:512]) + (0.1 + 1e-6) * jnp.eye(512)
-    got = gram_sigma_ard(ap, xg[:512], 0.1, block=256)
-    err = float(jnp.max(jnp.abs(got - want)))
-    log(f"[pallas_gram] on-chip max|pallas - xla_highest| = {err:.2e}")
-    if not err < 1e-4:
-        raise RuntimeError(f"pallas gram accuracy gate failed: {err}")
-
-    def mk(L):
-        def fn():
-            def body(c, _):
-                G = gram_sigma_ard(ap, xg + c * 1e-12, 0.1)
-                return jnp.sum(G) * 1e-12, ()
-
-            out, _ = jax.lax.scan(body, 0.0, None, length=L)
-            return out
-
-        return jax.jit(fn)
-
-    per = _chain_time(mk, 2, 12)
-    return per * 1e3
-
-
 def _hogp_setup(n, shape):
     import numpy as np
 
@@ -477,7 +435,6 @@ STAGES = {
     "restarts": stage_restarts,
     "chol4096": stage_chol,
     "gram4096": stage_gram,
-    "pallas_gram4096": stage_pallas_gram,
     "hogp128": lambda: stage_hogp(128, (32, 32)),
     "hogp1024": lambda: stage_hogp(1024, (32, 32, 32)),
     "eigh1024": stage_eigh,
@@ -572,7 +529,7 @@ def run_monolithic(timeout: int = 1500):
 
 STAGE_ORDER = (
     "nlml300", "nlml1024", "nlml4096", "nlml1024_fused", "nlml4096_fused",
-    "restarts", "chol4096", "gram4096", "pallas_gram4096",
+    "restarts", "chol4096", "gram4096",
     "hogp128", "hogp1024", "eigh1024", "modedot1024",
 )
 
@@ -602,7 +559,6 @@ def main():
         "nlml300": "steps/s", "nlml1024": "steps/s", "nlml4096": "steps/s",
         "nlml1024_fused": "steps/s", "nlml4096_fused": "steps/s",
         "restarts": "agg steps/s", "chol4096": "TFLOP/s", "gram4096": "ms",
-        "pallas_gram4096": "ms",
         "hogp128": "steps/s", "hogp1024": "steps/s",
         "eigh1024": "ms", "modedot1024": "ms",
     }

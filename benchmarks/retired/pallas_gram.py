@@ -38,8 +38,16 @@ def _gram_kernel(x1_ref, x2_ref, sv_ref, diag_ref, out_ref):
     b = x2_ref[:]  # (B, d)
     n1 = jnp.sum(a * a, axis=1, keepdims=True)  # (B, 1)
     n2 = jnp.sum(b * b, axis=1, keepdims=True)  # (B, 1)
+    # HIGHEST: the MXU default rounds operands to bf16, which
+    # catastrophically cancels the quadratic expansion (measured max err
+    # ~0.9 on unit-magnitude Grams at x-norms ~20 — the round-3 on-chip
+    # accuracy gate finding that retracted round-2's 0.04/0.13 ms claims).
+    # The kernel is HBM-write-bound (n^2 * 4B out), so the f32 multi-pass
+    # dot on a (B, d) x (d, B) tile costs nothing measurable.
     cross = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
     k = sv_ref[0, 0] * jnp.exp(-0.5 * d2)

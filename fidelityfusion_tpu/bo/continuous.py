@@ -146,6 +146,7 @@ class ContinuousFidelityES:
         n_mc: int = 128,
         length_scale_z: float = 1.0,
         cost_aware: bool = True,
+        maximize: bool = False,
     ):
         self.x_dimension = x_dimension
         self.search_range = search_range
@@ -155,6 +156,7 @@ class ContinuousFidelityES:
         self.n_mc = n_mc
         self.length_scale_z = length_scale_z
         self.cost_aware = cost_aware
+        self.maximize = maximize
         self.xs, self.zs = _candidate_grid(
             jax.random.PRNGKey(seed), search_range, x_dimension, n_candidates
         )
@@ -167,10 +169,11 @@ class ContinuousFidelityES:
 
         key = jax.random.PRNGKey(self.seed + 131)
         eps = jax.random.normal(key, (self.n_mc, mean.shape[0]))
+        argbest = jnp.argmax if self.maximize else jnp.argmin
 
         def pmin_entropy(std_v):
             samples = mean[None, :] + std_v[None, :] * eps
-            mins = jnp.argmin(samples, axis=1)
+            mins = argbest(samples, axis=1)
             counts = jnp.bincount(mins, length=mean.shape[0]) + 1e-3
             p = counts / jnp.sum(counts)
             return -jnp.sum(p * jnp.log(p))
@@ -189,6 +192,73 @@ class ContinuousFidelityES:
             scores = scores / np.maximum(self.cost.compute_cost(self.zs), 1e-9)
         j = int(np.argmax(scores))
         return self.xs[j].reshape(1, -1), float(self.zs[j])
+
+
+def continuous_best_observed_kg(
+    mean_cov_fn: Callable,
+    search_range,
+    cost,
+    incumbent: float,
+    seed: int = 0,
+    n_candidates: int = 48,
+    n_grid: int = 64,
+    n_draws: int = 24,
+    is_last: bool = False,
+) -> Tuple[np.ndarray, float]:
+    """Continuous-fidelity knowledge gradient on the best-OBSERVED value
+    (`Continuous/CFKG.py:11-140` semantics, redesigned like `bo/cfkg.py`).
+
+    The continuous protocol's incumbent is the max over ALL observed y
+    regardless of z (`Experiments/MFBO_continuous/MF_BO_continuous.py:100`),
+    so a draw at any (x, z) can move it.  Candidate (x_i, z_i) is scored by
+    the two-step lookahead
+
+        (E_e[ max(max(inc, y_e), max_grid mu_e^top) ] - V_now) / cost(z_i)
+
+    where mu_e^top is the z=1 posterior mean over an x grid after the
+    rank-1 fantasy update through the joint (x, z) posterior covariance.
+    On the final budget iteration the future-query term drops and the
+    score is E[max(inc, y_e)] — pure expected observed improvement.
+
+    ``mean_cov_fn(xz (m, d+1)) -> (mean (m,), cov (m, m))`` is the joint
+    posterior (e.g. `FIDES.predict_full`).
+    """
+    key = jax.random.PRNGKey(seed + 86)
+    kx, kg, ke = jax.random.split(key, 3)
+    xs, zs = _candidate_grid(kx, search_range, len(search_range) - 1,
+                             n_candidates)
+    grid, _ = _candidate_grid(kg, search_range, len(search_range) - 1, n_grid)
+    z_top = float(search_range[-1][-1])
+
+    cand_xz = np.concatenate([xs, zs.reshape(-1, 1).astype(np.float32)],
+                             axis=1)
+    grid_xz = np.concatenate(
+        [grid, np.full((n_grid, 1), z_top, np.float32)], axis=1)
+    all_xz = jnp.asarray(np.concatenate([grid_xz, cand_xz], axis=0))
+    mu, C = mean_cov_fn(all_xz)
+    mu = jnp.asarray(mu).reshape(-1)
+    mu_grid, mu_cand = mu[:n_grid], mu[n_grid:]
+    var_c = jnp.maximum(jnp.diagonal(C)[n_grid:], 1e-10)
+    std_c = jnp.sqrt(var_c)
+    w = C[:n_grid, n_grid:] / var_c[None, :]  # (n_grid, n_cand) kalman rows
+
+    eps = jax.random.normal(ke, (n_draws,))
+
+    def per_draw(e):
+        y_draw = mu_cand + e * std_c
+        inc = jnp.maximum(incumbent, y_draw)  # any-z observation counts
+        if is_last:
+            return inc
+        shifted = mu_grid[:, None] + e * std_c[None, :] * w
+        return jnp.maximum(inc, jnp.max(shifted, axis=0))
+
+    vals = jnp.mean(jax.vmap(per_draw)(eps), axis=0)
+    base = incumbent if is_last else max(incumbent, float(jnp.max(mu_grid)))
+    costs = np.maximum(np.asarray(cost.compute_cost(zs)).reshape(-1), 1e-9)
+    scores = (np.asarray(vals) - base) / (np.ones_like(costs) if is_last
+                                          else costs)
+    j = int(np.argmax(scores))
+    return xs[j].reshape(1, -1), float(zs[j])
 
 
 class ContinuousFidelityKG:

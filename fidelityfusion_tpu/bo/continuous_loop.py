@@ -25,6 +25,7 @@ from fidelityfusion_tpu.train.fit import fit
 
 def mf_bo_continuous(
     objective,
+    method: str = "UCB",
     bo_iterations: int = 10,
     n_init: int = 8,
     seed: int = 0,
@@ -32,13 +33,26 @@ def mf_bo_continuous(
     train_lr: float = 5e-2,
     z_min: float = 0.1,
     verbose: bool = False,
+    init_data=None,
+    cost=None,
 ) -> Dict:
     """``objective`` follows the continuous protocol
     (`data/objectives.py:Branin/Hartmann3`): get_data(x, z) with z a
     continuous fidelity column; initiate_data(num, seed) -> (x, y, z).
+
+    ``method``: "UCB" (information-gap z rule), "ES" (cost-aware entropy
+    search over the joint grid), or "KG" (best-observed knowledge
+    gradient, `bo/continuous.py:continuous_best_observed_kg`).
+    ``init_data`` — optional (x, y, z) initial arrays (head-to-head
+    scripts inject the reference's exact draw).  ``cost`` — optional cost
+    model; defaults to `ContinuousCost(rate=2.0)`.
     """
-    x, y, z = objective.initiate_data(n_init, seed)
-    cost = ContinuousCost(rate=2.0, s_min=z_min, s_max=1.0)
+    if init_data is not None:
+        x, y, z = (np.asarray(a, np.float64).reshape(
+            len(init_data[0]), -1) for a in init_data)
+    else:
+        x, y, z = objective.initiate_data(n_init, seed)
+    cost = cost or ContinuousCost(rate=2.0, s_min=z_min, s_max=1.0)
     d = objective.x_dim
     record = {"cost": [], "incumbents": [], "operation_time": [], "X": [], "Z": []}
 
@@ -68,14 +82,49 @@ def mf_bo_continuous(
             mean, var = fides.predict(res.params, xj, yj, xq, bounds_f)
             return mean, var
 
-        strategy = ContinuousFidelityUCB(
-            x_dimension=d,
-            search_range=list(objective.search_range[:d]) + [[z_min, 1.0]],
-            posterior_fn=posterior_fn,
-            cost=cost,
-            seed=seed + it,
-        )
-        new_x, new_z = strategy.compute_next(steps=30, lr=0.05)
+        srange = list(objective.search_range[:d]) + [[z_min, 1.0]]
+        is_last = it == bo_iterations - 1
+        if method == "UCB":
+            strategy = ContinuousFidelityUCB(
+                x_dimension=d, search_range=srange,
+                posterior_fn=posterior_fn, cost=cost, seed=seed + it,
+            )
+            new_x, new_z = strategy.compute_next(steps=30, lr=0.05)
+        elif method == "ES":
+            from fidelityfusion_tpu.bo.continuous import ContinuousFidelityES
+
+            strategy = ContinuousFidelityES(
+                x_dimension=d, search_range=srange,
+                posterior_fn=posterior_fn, cost=cost, seed=seed + it,
+                maximize=True,
+            )
+            if is_last:
+                # final budget iteration: cash in at the expected-best
+                # observed (x, z) — same rationale as bo/cfkg.py
+                mu, _ = posterior_fn(jnp.asarray(strategy.xs), 1.0)
+                j = int(np.argmax(np.asarray(mu).reshape(-1)))
+                new_x, new_z = strategy.xs[j].reshape(1, -1), 1.0
+            else:
+                new_x, new_z = strategy.compute_next()
+        elif method == "KG":
+            from fidelityfusion_tpu.bo.continuous import (
+                continuous_best_observed_kg,
+            )
+
+            def mean_cov_fn(xz, res=res, xj=xj, yj=yj):
+                mu_n, cov = fides.predict_full(
+                    res.params, xj, yj, jnp.asarray(xz, jnp.float32),
+                    bounds_f)
+                # de-normalize to raw y units (cov scales by ys^2)
+                return mu_n * ys + ym, cov * ys**2
+
+            new_x, new_z = continuous_best_observed_kg(
+                mean_cov_fn, srange, cost,
+                incumbent=float(np.max(y)), seed=seed + 7 * it,
+                is_last=is_last,
+            )
+        else:
+            raise ValueError(method)
         new_y = objective.get_data(new_x, new_z)
 
         x = np.concatenate([x, new_x], axis=0)

@@ -118,3 +118,26 @@ class FIDES:
         k_ss = jnp.diagonal(self.kernel(params, x_test, x_test, bounds))
         mean, var = linalg.posterior_diag(Sigma, y_train, K_s, k_ss, mask=mask)
         return mean, (var + self.noise(params)).reshape(-1, 1)
+
+    def predict_full(
+        self,
+        params,
+        x_train: jnp.ndarray,
+        y_train: jnp.ndarray,
+        x_test: jnp.ndarray,
+        bounds: FidelityBounds,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior mean and FULL covariance over joint (x, z) test points
+        — needed by the continuous knowledge gradient's cross-fidelity
+        fantasy conditioning (`bo/continuous.py:continuous_best_observed_kg`).
+        """
+        K = self.kernel(params, x_train, x_train, bounds)
+        Sigma = linalg.assemble_sigma(K, self.noise(params), jitter=self.jitter)
+        K_s = self.kernel(params, x_train, x_test, bounds)
+        K_ss = self.kernel(params, x_test, x_test, bounds)
+        L = jnp.linalg.cholesky(Sigma)
+        V = jax.scipy.linalg.solve_triangular(L, K_s, lower=True)
+        alpha = jax.scipy.linalg.cho_solve((L, True), y_train.reshape(-1, 1))
+        mean = K_s.T @ alpha
+        cov = K_ss - V.T @ V
+        return mean.reshape(-1), cov

@@ -45,10 +45,15 @@ from fidelityfusion_tpu.ops.blocked import _mm, chol_inv_padded
 LOG2PI = math.log(2.0 * math.pi)
 
 
-PALLAS_GRAM_BLOCK = 256
-
-
 def _se_sigma_parts(params, x, jitter, min_noise=0.0):
+    """XLA Gram build.  A Pallas VMEM gram was trialed here in round 3 and
+    RETIRED (benchmarks/retired/pallas_gram.py): round-2's 0.04/0.13 ms
+    claims came from a bf16 in-kernel dot whose quadratic expansion was
+    numerically WRONG on-chip (max err ~0.9); with the dot fixed to f32
+    the kernel times ~par standalone (0.21 vs 0.13 ms, overlapping
+    spreads) and LOSES 0.6 ms/step inside the fused NLML scan (5.46 vs
+    4.83 ms at n=4096 — the opaque kernel boundary blocks XLA fusion).
+    Measured 2026-08-19, quiet box, median-of-5 chain-difference."""
     t = params["kernel"]["length_scale"][0]
     u = params["kernel"]["signal_variance"][0]
     b = params["log_beta"][0]
@@ -56,18 +61,6 @@ def _se_sigma_parts(params, x, jitter, min_noise=0.0):
     # (models/cigp.py:CIGP.min_noise rationale)
     c = jnp.maximum(jnp.exp(-b), min_noise * jnp.exp(2.0 * u)) + jitter
     n = x.shape[0]
-    if jax.default_backend() == "tpu" and n % PALLAS_GRAM_BLOCK == 0:
-        # production Pallas path (VERDICT r2 item 4): one VMEM pass builds
-        # Sigma = K + cI — no d2/K intermediates hit HBM.  The in-kernel
-        # f32 dot does not catastrophically cancel (accuracy gated by
-        # bench.py's pallas_gram accuracy check and tests/test_pallas.py).
-        from fidelityfusion_tpu.ops.pallas_gram import gram_se
-
-        xs = x * jnp.exp(-t)
-        Sigma = gram_se(xs, xs, jnp.exp(2.0 * u), diag_add=c,
-                        block=PALLAS_GRAM_BLOCK)
-        K = Sigma - c * jnp.eye(n, dtype=Sigma.dtype)
-        return K, c, Sigma
     n1 = jnp.sum(x * x, axis=-1)[:, None]
     # full-precision cross term: the bf16 MXU default catastrophically
     # cancels in the quadratic expansion (see kernels.py:sq_dist)

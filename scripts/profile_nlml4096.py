@@ -162,7 +162,7 @@ def main():
 
     # 7. pallas gram block sweep
     try:
-        from fidelityfusion_tpu.ops.pallas_gram import gram_sigma_ard
+        from benchmarks.retired.pallas_gram import gram_sigma_ard
 
         xg = rng.random((4096, 8)).astype(np.float32)
         ap = {"length_scales": np.ones(8, np.float32),

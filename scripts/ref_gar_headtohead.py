@@ -167,11 +167,30 @@ def field_fixture(seed, n_high, n_low=100, n_test=100):
                           "non-aligned", (8, 16))
 
 
+def aligned_field_fixture(seed, n_high, n_low=100, n_test=100):
+    """GAR_Aligned protocol analog (`Experiments/GAR_Aligned/exp_aligned.py`):
+    both fidelities on the fine grid (low = coarse solve upsampled)."""
+    from fidelityfusion_tpu.experiments.sweep import _field_fixture
+
+    return _field_fixture("poisson", seed, n_low, n_high, n_test,
+                          "aligned", (8, 16))
+
+
 # ---------------------------------------------------------------- runners
 def run_reference(gar, cigar, ref_kernel, RefDM, method, fixture,
-                  max_iter=100, lr=1e-3, flatten=False):
+                  max_iter=100, lr=1e-3, flatten=False, n_restarts=1,
+                  seed=0):
     """One reference cell at the exp_non_aligned settings
-    (`exp_non_aligned.py:91-108`: SE kernel, max_iter=100, lr_init=1e-3)."""
+    (`exp_non_aligned.py:91-108`: SE kernel, max_iter=100, lr_init=1e-3).
+
+    ``n_restarts > 1`` equalizes the restart budget with our framework
+    (VERDICT r2 item 8): restart r perturbs every parameter of the fresh
+    model by seeded N(0, 0.3) noise before training (best-of-R fixed-init
+    perturbations with the reference's own optimizer), and the winner is
+    selected by TEST RMSE — an ORACLE selection the reference could never
+    actually make (our framework selects by training NLML), so the
+    restarts-equalized reference column is an UPPER BOUND on any real
+    restart policy.  Beating it is conservative evidence."""
     from fidelityfusion_tpu.experiments.metrics import calculate_metrix
 
     x_low, y_low, x_high, y_high, x_test, y_test = [
@@ -181,32 +200,41 @@ def run_reference(gar, cigar, ref_kernel, RefDM, method, fixture,
         y_low = y_low.reshape(len(y_low), -1)
         y_high = y_high.reshape(len(y_high), -1)
     shapes = [tuple(y_low.shape[1:]), tuple(y_high.shape[1:])]
-    dm = RefDM([
-        {"fidelity_indicator": 0, "raw_fidelity_name": "0",
-         "X": x_low, "Y": y_low},
-        {"fidelity_indicator": 1, "raw_fidelity_name": "1",
-         "X": x_high, "Y": y_high},
-    ])
     t0 = time.time()
-    if method == "GAR":
+    best_row = None
+    for r in range(n_restarts):
+        dm = RefDM([
+            {"fidelity_indicator": 0, "raw_fidelity_name": "0",
+             "X": x_low, "Y": y_low},
+            {"fidelity_indicator": 1, "raw_fidelity_name": "1",
+             "X": x_high, "Y": y_high},
+        ])
+        torch.manual_seed(1000 * seed + r)
         ks = [ref_kernel.SquaredExponentialKernel() for _ in range(2)]
-        model = gar.GAR(2, ks, shapes)
-        gar.train_GAR(model, dm, max_iter=max_iter, lr_init=lr)
-    else:
-        ks = [ref_kernel.SquaredExponentialKernel() for _ in range(2)]
-        model = cigar.CIGAR(2, ks, shapes)
-        cigar.train_CIGAR(model, dm, max_iter=max_iter, lr_init=lr)
-    with torch.no_grad():
-        xt = dm.normalizelayer[1].normalize_x(x_test)
-        mean, var = model(dm, xt)
-        mean, var = dm.normalizelayer[1].denormalize(mean, var)
-    elapsed = time.time() - t0
-    mean = mean.numpy()
-    var = np.abs(var.numpy()).reshape(len(mean), -1)
-    row = calculate_metrix(np.asarray(y_test).reshape(len(mean), -1),
-                           mean.reshape(len(mean), -1), var)
-    row["time"] = elapsed
-    return row
+        if method == "GAR":
+            model = gar.GAR(2, ks, shapes)
+        else:
+            model = cigar.CIGAR(2, ks, shapes)
+        if r > 0:
+            with torch.no_grad():
+                for p in model.parameters():
+                    p.add_(torch.randn_like(p) * 0.3)
+        if method == "GAR":
+            gar.train_GAR(model, dm, max_iter=max_iter, lr_init=lr)
+        else:
+            cigar.train_CIGAR(model, dm, max_iter=max_iter, lr_init=lr)
+        with torch.no_grad():
+            xt = dm.normalizelayer[1].normalize_x(x_test)
+            mean, var = model(dm, xt)
+            mean, var = dm.normalizelayer[1].denormalize(mean, var)
+        mean = mean.numpy()
+        var = np.abs(var.numpy()).reshape(len(mean), -1)
+        row = calculate_metrix(np.asarray(y_test).reshape(len(mean), -1),
+                               mean.reshape(len(mean), -1), var)
+        if best_row is None or row["rmse"] < best_row["rmse"]:
+            best_row = row
+    best_row["time"] = time.time() - t0
+    return best_row
 
 
 def run_ours(method, fixture, max_iter=100, lr=5e-2, n_restarts=4,
@@ -249,28 +277,38 @@ def main():
     gar, cigar, ref_kernel, RefDM = _load_patched_reference()
     outdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "exp_results", "headtohead")
-    seeds = [int(s) for s in os.environ.get("SEEDS", "0,1,2").split(",")]
+    seeds = [int(s) for s in os.environ.get("SEEDS", "0,1,2,3,4").split(",")]
+    ref_restarts = int(os.environ.get("REF_RESTARTS", "4"))
     n_high_grid = [4, 8, 16, 32]
-    cases = [
-        ("tl112_scalar", scalar_fixture, False),
-        ("poisson_nonaligned", field_fixture, "cigar_only_flatten"),
-    ]
+    all_cases = {
+        "tl112_scalar": (scalar_fixture, False),
+        "poisson_nonaligned": (field_fixture, "cigar_only_flatten"),
+        "poisson_aligned": (aligned_field_fixture, "cigar_only_flatten"),
+    }
+    case_names = os.environ.get("CASES", ",".join(all_cases)).split(",")
+    cases = [(c,) + all_cases[c] for c in case_names]
+    frameworks = os.environ.get(
+        "FRAMEWORKS", "reference,reference_r%d,ours" % ref_restarts
+    ).split(",")
     summary = {}
     for case_name, fixture_fn, flatten_mode in cases:
         for method in ("GAR", "CIGAR"):
             flatten = (flatten_mode == "cigar_only_flatten"
                        and method == "CIGAR") or flatten_mode is True
-            for framework in ("reference", "ours"):
+            for framework in frameworks:
                 for seed in seeds:
                     torch.manual_seed(seed)
                     records = []
                     for n_high in n_high_grid:
                         fixture = fixture_fn(seed, n_high)
                         try:
-                            if framework == "reference":
+                            if framework.startswith("reference"):
+                                r = (ref_restarts
+                                     if framework != "reference" else 1)
                                 row = run_reference(
                                     gar, cigar, ref_kernel, RefDM, method,
-                                    fixture, flatten=flatten)
+                                    fixture, flatten=flatten, n_restarts=r,
+                                    seed=seed)
                             else:
                                 row = run_ours(method, fixture,
                                                flatten=flatten)
@@ -302,16 +340,20 @@ def main():
                         w.writerows(records)
 
     print("\n### Markdown summary (mean RMSE over seeds)\n")
-    print("| case | method | n_high | reference RMSE | ours RMSE |")
-    print("|---|---|---|---|---|")
+    header = "| case | method | n_high | " + " | ".join(
+        f"{fw} RMSE" for fw in frameworks) + " |"
+    print(header)
+    print("|" + "---|" * (3 + len(frameworks)))
     for case_name, _, _ in cases:
         for method in ("GAR", "CIGAR"):
             for n_high in n_high_grid:
-                r = np.nanmean(summary[(case_name, method, "reference",
-                                        n_high)])
-                o = np.nanmean(summary[(case_name, method, "ours", n_high)])
-                print(f"| {case_name} | {method} | {n_high} | {r:.4f} "
-                      f"| {o:.4f} |")
+                vals = [
+                    np.nanmean(summary.get((case_name, method, fw, n_high),
+                                           [float("nan")]))
+                    for fw in frameworks
+                ]
+                print(f"| {case_name} | {method} | {n_high} | "
+                      + " | ".join(f"{v:.4f}" for v in vals) + " |")
 
 
 if __name__ == "__main__":

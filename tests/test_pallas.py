@@ -1,16 +1,19 @@
-"""Pallas kernel correctness tests (interpreter mode on CPU; the same
-kernels compile for TPU — benchmarked in bench.py).
+"""Pallas-artifact correctness tests (interpreter mode on CPU) and
+fused-SE numeric contracts.
 
-Only the gram kernel remains in the product: the blocked/VMEM Cholesky
-kernels lost to XLA at every captured measurement over rounds 1-2 and are
-quarantined under `benchmarks/retired/` (round-2 verdict item 4)."""
+ALL Pallas kernels are retired from the product (benchmarks/retired/):
+the Cholesky kernels lost to XLA over rounds 1-2, and the gram kernel's
+round-2 win was a bf16-accuracy artifact — fixed to f32 it ties
+standalone and loses inside the fused NLML scan (see
+benchmarks/retired/README.md).  The interpret-mode tests below guard the
+retired gram artifact; the fused-SE tests guard the production path."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from fidelityfusion_tpu.ops.kernels import ARDKernel
-from fidelityfusion_tpu.ops.pallas_gram import gram_se, gram_sigma_ard
+from benchmarks.retired.pallas_gram import gram_se, gram_sigma_ard
 
 
 def test_pallas_gram_matches_kernel():
@@ -73,12 +76,13 @@ def test_pallas_gram_near_duplicate_rows():
     np.testing.assert_allclose(np.diagonal(got), 2.0, rtol=1e-6)
 
 
-def test_se_sigma_parts_pallas_path_matches_xla():
-    """`ops/fused_se.py:_se_sigma_parts` dispatches to the Pallas gram on
-    TPU; its interpret-mode output must match the XLA path bit-for-bit to
-    f32 tolerance (same (K, c, Sigma) contract)."""
+def test_se_sigma_parts_matches_retired_pallas_gram():
+    """The retired Pallas gram (interpret mode) and the production XLA
+    `_se_sigma_parts` build the same Sigma to f32 tolerance — the
+    correctness record backing the retirement decision (the kernel was
+    retired for SPEED inside the fused scan, not accuracy)."""
     from fidelityfusion_tpu.ops import fused_se
-    from fidelityfusion_tpu.ops.pallas_gram import gram_se as _gram_se
+    from benchmarks.retired.pallas_gram import gram_se as _gram_se
 
     rng = np.random.default_rng(4)
     n = 256

@@ -337,3 +337,43 @@ def test_mfes_pmax_entropy_stable_across_keys():
         for n_mc in (64, 256):
             x = pick(n_mc, seed)
             assert math.sin(5 * x) > 0.5, (seed, n_mc, x)
+
+
+def test_continuous_best_observed_kg():
+    """Continuous best-observed KG (bo/continuous.py): on a posterior whose
+    mean peaks at x ~= 0.5 with small uncertainty and a lagging incumbent,
+    the last-iteration cash-in must pick the peak; mid-loop scores must be
+    finite and the returned z must lie in the fidelity box."""
+    from fidelityfusion_tpu.bo.continuous import continuous_best_observed_kg
+
+    def mean_cov_fn(xz):
+        x = xz[:, 0]
+        mu = 5.0 * jnp.exp(-20.0 * (x - 0.5) ** 2)
+        d2 = (xz[:, None, 0] - xz[None, :, 0]) ** 2
+        return mu, 0.05 * jnp.exp(-4.0 * d2)
+
+    class Cost:
+        def compute_cost(self, z):
+            return np.power(10.0, np.asarray(z, float) + 1.0)
+
+    for is_last in (False, True):
+        x, z = continuous_best_observed_kg(
+            mean_cov_fn, [[0.0, 1.0], [0.0, 1.0]], Cost(), incumbent=0.0,
+            seed=0, n_candidates=64, is_last=is_last,
+        )
+        assert x.shape == (1, 1)
+        assert 0.0 <= z <= 1.0
+        if is_last:
+            # cash in at the posterior peak
+            assert abs(float(x.ravel()[0]) - 0.5) < 0.1
+
+
+def test_continuous_bo_loop_all_methods():
+    for m in ("ES", "KG"):
+        rec = mf_bo_continuous(Branin(), method=m, bo_iterations=2,
+                               n_init=6, seed=0, train_iters=40)
+        assert len(rec["incumbents"]) == 2
+        assert np.isfinite(rec["incumbents"]).all()
+        # last iteration: ES cashes in at z=1.0
+        if m == "ES":
+            assert rec["Z"][-1] == 1.0
