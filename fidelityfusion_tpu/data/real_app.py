@@ -5,10 +5,16 @@ TPU-native re-design of `Data_simulation/Real_Application/
 {cnn_cifar10,mln_mnist}.py:47-117`: the reference trains a torch-lightning
 CNN on CIFAR-100 / an MLP on MNIST and returns validation accuracy as the
 BO objective (fidelity = number of epochs).  This environment has no
-dataset downloads, so the objective here trains a small JAX MLP on a
-seeded synthetic classification task (two-moons-style) — preserving the
-structure that matters to MFBO research: a noisy, monotone-in-fidelity,
-hyperparameter-sensitive objective with real training cost.
+dataset DOWNLOADS, so:
+
+* `DigitsMLPObjective` trains on a REAL dataset — scikit-learn's bundled
+  handwritten-digits images (1797 x 8x8, 10 classes, shipped inside the
+  sklearn package, no network) — the closest offline analog of the
+  reference's MNIST MLP objective (`mln_mnist.py:47-90`), with the same
+  hyperparameters (dropout rate, learning rate) and fidelity = epochs.
+* `MLPTrainingObjective` / `CNNTrainingObjective` remain as fully
+  synthetic fallbacks (seeded two-moons / quadrant images) for
+  environments without sklearn.
 
 Protocol matches the reference objectives: ``get_data(x, s)`` with x the
 hyperparameters (log10 learning rate in [-4, -1], hidden width fraction
@@ -233,6 +239,114 @@ class CNNTrainingObjective:
             lr = rng.random((n, 1)) * 3 - 4
             w = rng.random((n, 1))
             return np.concatenate([lr, w], axis=1)
+
+        x_low = sample(index[1])
+        x_high = np.concatenate([x_low[: index[2] - 2], sample(2)], axis=0)
+        return (
+            [x_low, x_high],
+            [self.get_data(x_low, 1), self.get_data(x_high, 2)],
+        )
+
+    Initiate_data = initiate_data
+
+
+class DigitsMLPObjective:
+    """Hyperparameter-BO objective on REAL data: validation accuracy of a
+    2-layer MLP (dropout regularized) on scikit-learn's bundled
+    handwritten-digits dataset after ``10*s`` epochs of full-batch Adam.
+
+    Mirrors the reference MNIST MLP objective (`Data_simulation/
+    Real_Application/mln_mnist.py:47-90`: MLP 256-128 with dropout,
+    test-accuracy objective, fidelity = epochs) at the scale this offline
+    image allows: digits is 1797 8x8 images / 10 classes, shipped inside
+    the sklearn package — no downloads.  x = (dropout rate in [0, 0.8],
+    log10 lr in [-4, -1]); s is the 1-based fidelity -> 10*s epochs.
+    Dropout uses a fixed PRNG stream per epoch (deterministic objective,
+    like the reference's seed_everything policy, `mln_mnist.py:18-20`).
+    """
+
+    def __init__(self, total_fidelity_num: int = 2, seed: int = 0,
+                 width: int = 64, n_train: int = 1200):
+        from sklearn.datasets import load_digits
+
+        self.total_fidelity_num = total_fidelity_num
+        self.x_dim = 2
+        self.search_range = [[0.0, 0.8], [-4.0, -1.0], [0, 1]]
+        self.cost = LinearCost(rate=10.0)
+        self.width = width
+        d = load_digits()
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(len(d.data))
+        X = (d.data[perm] / 16.0).astype(np.float32)
+        y = d.target[perm].astype(np.int32)
+        self.X_train, self.y_train = X[:n_train], y[:n_train]
+        self.X_val, self.y_val = X[n_train:], y[n_train:]
+
+    def _train_one(self, dropout: float, log10_lr: float, epochs: int,
+                   seed: int = 0) -> float:
+        import optax
+
+        lr = 10.0 ** float(log10_lr)
+        dropout = float(np.clip(dropout, 0.0, 0.95))
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        w = self.width
+        params = {
+            "w1": jax.random.normal(k1, (64, w)) * (1.0 / 8.0),
+            "b1": jnp.zeros((w,)),
+            "w2": jax.random.normal(k2, (w, 10)) * (1.0 / np.sqrt(w)),
+            "b2": jnp.zeros((10,)),
+        }
+
+        def logits(p, X, drop_key=None):
+            h = jax.nn.relu(X @ p["w1"] + p["b1"])
+            if drop_key is not None and dropout > 0:
+                keep = jax.random.bernoulli(drop_key, 1.0 - dropout, h.shape)
+                h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+            return h @ p["w2"] + p["b2"]
+
+        def loss_fn(p, X, y, drop_key):
+            lg = logits(p, X, drop_key)
+            return jnp.mean(-jax.nn.log_softmax(lg)[jnp.arange(len(y)), y])
+
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def run(p, X, y, Xv, yv):
+            def step(carry, k):
+                p, s = carry
+                g = jax.grad(loss_fn)(p, X, y, k)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), ()
+
+            keys = jax.random.split(k3, epochs)
+            (p_f, _), _ = jax.lax.scan(step, (p, opt.init(p)), keys)
+            acc = jnp.mean(
+                (jnp.argmax(logits(p_f, Xv), axis=1) == yv).astype(
+                    jnp.float32)
+            )
+            return acc
+
+        return float(run(params, self.X_train, self.y_train,
+                         self.X_val, self.y_val))
+
+    def get_data(self, x: np.ndarray, s: int) -> np.ndarray:
+        """x: (n, 2) = (dropout, log10 lr); s: 1-based fidelity -> 10*s
+        epochs.  Returns validation accuracy (n, 1)."""
+        x = np.atleast_2d(np.asarray(x, float))
+        out = np.array(
+            [self._train_one(row[0], row[1], epochs=10 * int(s))
+             for row in x]
+        )
+        return out.reshape(-1, 1)
+
+    def initiate_data(self, index: Dict[int, int], seed: int):
+        rng = np.random.default_rng(seed)
+
+        def sample(n):
+            dr = rng.random((n, 1)) * 0.8
+            lr = rng.random((n, 1)) * 3 - 4
+            return np.concatenate([dr, lr], axis=1)
 
         x_low = sample(index[1])
         x_high = np.concatenate([x_low[: index[2] - 2], sample(2)], axis=0)

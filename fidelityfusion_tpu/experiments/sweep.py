@@ -431,6 +431,12 @@ def main(argv=None):
 
     ``--protocol car`` runs the CAR train-size sweep; ``--protocol
     car-cost`` the CAR cost sweep (both on the papers' noisy-sin fixture).
+
+    ``--platform cpu`` (the default) pins JAX to the host CPU via the
+    config API — the axon TPU plugin OVERRIDES the JAX_PLATFORMS env var,
+    and sweep cells are small-n jobs that the tunneled chip's per-call
+    latency makes pathologically slow; ``--platform default`` keeps the
+    session's device.
     """
     import argparse
 
@@ -454,9 +460,12 @@ def main(argv=None):
     parser.add_argument("--nonsubset", action="store_true")
     parser.add_argument("--max-iter", type=int, default=200)
     parser.add_argument("--outdir", default="exp_results")
-    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--platform", default="cpu",
+                        choices=["cpu", "default"])
+    parser.add_argument("--cpu", action="store_true",
+                        help="(kept for compat; cpu is now the default)")
     args = parser.parse_args(argv)
-    if args.cpu:
+    if args.platform == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")

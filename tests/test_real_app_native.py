@@ -66,3 +66,25 @@ def test_cigp_with_mean_learns_offset():
     mean, _ = gp.predict(res.params, x, y, xt)
     rmse = float(jnp.sqrt(jnp.mean((mean.ravel() - (jnp.sin(xt.ravel()) + 10)) ** 2)))
     assert rmse < 0.2
+
+
+def test_digits_mlp_objective_real_data():
+    """Real-dataset objective (sklearn bundled digits, offline): accuracy
+    in [0,1], deterministic, and monotone-ish in fidelity at a sane
+    hyperparameter point (`mln_mnist.py:47-90` analog)."""
+    import numpy as np
+    import pytest
+
+    sklearn = pytest.importorskip("sklearn")
+    from fidelityfusion_tpu.data.real_app import DigitsMLPObjective
+
+    obj = DigitsMLPObjective()
+    x = np.array([[0.2, -2.0]])
+    y1 = float(obj.get_data(x, 1).ravel()[0])
+    y1b = float(obj.get_data(x, 1).ravel()[0])
+    y2 = float(obj.get_data(x, 2).ravel()[0])
+    assert 0.0 <= y1 <= 1.0 and 0.0 <= y2 <= 1.0
+    assert y1 == y1b  # deterministic objective
+    assert y2 >= y1 - 0.05  # more epochs should not hurt much
+    xs, ys = obj.initiate_data({1: 3, 2: 2}, 0)
+    assert xs[0].shape == (3, 2) and ys[1].shape == (2, 1)
