@@ -219,20 +219,31 @@ def run_reference(gar, cigar, ref_kernel, RefDM, method, fixture,
             with torch.no_grad():
                 for p in model.parameters():
                     p.add_(torch.randn_like(p) * 0.3)
-        if method == "GAR":
-            gar.train_GAR(model, dm, max_iter=max_iter, lr_init=lr)
-        else:
-            cigar.train_CIGAR(model, dm, max_iter=max_iter, lr_init=lr)
-        with torch.no_grad():
-            xt = dm.normalizelayer[1].normalize_x(x_test)
-            mean, var = model(dm, xt)
-            mean, var = dm.normalizelayer[1].denormalize(mean, var)
-        mean = mean.numpy()
-        var = np.abs(var.numpy()).reshape(len(mean), -1)
-        row = calculate_metrix(np.asarray(y_test).reshape(len(mean), -1),
-                               mean.reshape(len(mean), -1), var)
+        try:
+            if method == "GAR":
+                gar.train_GAR(model, dm, max_iter=max_iter, lr_init=lr)
+            else:
+                cigar.train_CIGAR(model, dm, max_iter=max_iter, lr_init=lr)
+            with torch.no_grad():
+                xt = dm.normalizelayer[1].normalize_x(x_test)
+                mean, var = model(dm, xt)
+                mean, var = dm.normalizelayer[1].denormalize(mean, var)
+            mean = mean.numpy()
+            var = np.abs(var.numpy()).reshape(len(mean), -1)
+            row = calculate_metrix(np.asarray(y_test).reshape(len(mean), -1),
+                                   mean.reshape(len(mean), -1), var)
+        except Exception as e:
+            # a crashed restart (the reference's eigh fails to converge /
+            # NaNs on several perturbed inits) is skipped, as any real
+            # restart policy would; if ALL restarts crash the cell fails.
+            print(f"  [restart {r}] crashed: {e!r}", flush=True)
+            continue
+        if not np.isfinite(row["rmse"]):
+            continue
         if best_row is None or row["rmse"] < best_row["rmse"]:
             best_row = row
+    if best_row is None:
+        raise RuntimeError("every restart crashed or was non-finite")
     best_row["time"] = time.time() - t0
     return best_row
 
