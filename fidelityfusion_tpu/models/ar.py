@@ -461,17 +461,24 @@ class _CigpNLL:
 
 
 def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
-               kernel_spec=None, x=None, gp_field=None, loss_args=None):
+               kernel_spec=None, x=None, gp_field=None, loss_args=None,
+               aux0=None):
     """Run one stage's Adam scan; with restarts, vmap over a batch of
     initializations.  When ``kernel_spec``/``x`` are given, the batch is the
     deterministic length-scale ladder (`train/fit.py:gp_restart_batch`)
     applied to the GP subtree (``params[gp_field]`` or ``params`` itself);
     otherwise random jitter.  ``loss_args`` selects the cached-program
-    path (stable-identity ``loss_fn``; see `train/fit.py:fit`)."""
+    path (stable-identity ``loss_fn``; see `train/fit.py:fit`).
+
+    ``aux0``: single (unbatched) aux carry for aux-threading losses
+    (e.g. the HOGP tracked eigenbasis) — broadcast across restarts here.
+    Aux losses bypass `_blocked_variant` (their signature differs and the
+    blocked swap targets CIGP losses)."""
     if n_restarts <= 1:
-        result = fit(loss_fn, params, steps=steps, lr=lr, loss_args=loss_args)
+        result = fit(loss_fn, params, steps=steps, lr=lr, loss_args=loss_args,
+                     aux0=aux0)
         return result.params, result.losses
-    if x is not None:
+    if x is not None and aux0 is None:
         loss_fn = _blocked_variant(loss_fn, x.shape[0])
     if kernel_spec is not None and x is not None:
         gp_params = params[gp_field] if gp_field else params
@@ -483,8 +490,13 @@ def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
         batch = stack_params(inits)
     else:
         batch = perturb_params(key, params, n=n_restarts)
+    aux_batch = None
+    if aux0 is not None:
+        aux_batch = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (n_restarts,) + a.shape), aux0
+        )
     best, result = fit_restarts(loss_fn, batch, steps=steps, lr=lr,
-                                loss_args=loss_args)
+                                loss_args=loss_args, aux0=aux_batch)
     return best, result.losses
 
 

@@ -55,6 +55,37 @@ class _GarResLoss:
         return self.hogp.nll(p["hogp"], sx, res, y_var=rv)
 
 
+# Above this many training rows, HOGP stages train through the
+# warm-started spectral-tracking NLML (`models/hogp.py:nll_tracked`):
+# XLA:TPU's serial QDWH eigh dominates the step beyond ~512 rows
+# (scripts/profile_hogp.py: ~48 of 51 ms at n=1024), while tracking
+# replaces it with GEMM Jacobi sweeps between scheduled refreshes.
+_TRACK_N_THRESHOLD = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class _Gar0LossTracked:
+    """`_Gar0Loss` through the tracked-spectrum NLML (aux-carry
+    signature; see `train/fit.py:adam_scan_aux`)."""
+
+    hogp: HOGP
+
+    def __call__(self, p, aux, step, x, y):
+        return self.hogp.nll_tracked(p["hogp"], aux, step, x, y)
+
+
+@dataclasses.dataclass(frozen=True)
+class _GarResLossTracked:
+    """`_GarResLoss` through the tracked-spectrum NLML."""
+
+    hogp: HOGP
+    tl: TensorLinear
+
+    def __call__(self, p, aux, step, sx, yl, yh, rv, shift, scale):
+        res = (yh - self.tl.apply(p["tl"], yl) - shift) / scale
+        return self.hogp.nll_tracked(p["hogp"], aux, step, sx, res, y_var=rv)
+
+
 class GAR:
     def __init__(
         self,
@@ -161,11 +192,14 @@ def train_GAR(
             y_low = jnp.asarray(y_low, jnp.float32)
 
             stage_p = {"hogp": model.params["hogp"][0]}
+            tracked = x_low.shape[0] >= _TRACK_N_THRESHOLD
             stage_p, hist = _run_stage(
-                _Gar0Loss(hogp), stage_p, max_iter, lr_init, n_restarts,
+                _Gar0LossTracked(hogp) if tracked else _Gar0Loss(hogp),
+                stage_p, max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=hogp.kernel, x=x_low, gp_field="hogp",
                 loss_args=(x_low, y_low),
+                aux0=hogp.tracking_aux0(x_low.shape[0]) if tracked else None,
             )
             model.params["hogp"][0] = stage_p["hogp"]
             _, state = hogp.nll_with_state(stage_p["hogp"], x_low, y_low)
@@ -217,11 +251,14 @@ def train_GAR(
                 "hogp": model.params["hogp"][i_fid],
                 "tl": model.params["tl"][i_fid - 1],
             }
+            tracked = sx.shape[0] >= _TRACK_N_THRESHOLD
             stage_p, hist = _run_stage(
-                _GarResLoss(hogp, tl), stage_p, max_iter, lr_init,
+                _GarResLossTracked(hogp, tl) if tracked else _GarResLoss(hogp, tl),
+                stage_p, max_iter, lr_init,
                 n_restarts, jax.random.fold_in(key, i_fid),
                 kernel_spec=hogp.kernel, x=sx, gp_field="hogp",
                 loss_args=loss_args_i,
+                aux0=hogp.tracking_aux0(sx.shape[0]) if tracked else None,
             )
             model.params["hogp"][i_fid] = stage_p["hogp"]
             model.params["tl"][i_fid - 1] = stage_p["tl"]

@@ -135,6 +135,11 @@ class HOGP:
             eigvals.append(lam)
             eigvecs.append(V)
 
+        # PSD clamp: f32 eigh negatives blow up through the Kronecker
+        # product on TPU (see ops/kron.py:_clamp_psd)
+        from fidelityfusion_tpu.ops.kron import _clamp_psd
+
+        eigvals = _clamp_psd(eigvals)
         A = rank1_tucker(eigvals) + self.noise(params)
         T1 = multi_mode_dot(y_train, [V.T for V in eigvecs])
         # b^T b with orthogonal back-rotation == sum(T1^2 / A)
@@ -171,6 +176,45 @@ class HOGP:
         no second eigh (the `hogp1024` backward bottleneck)."""
         K0, K_modes = self._grams(params, x_train, y_var)
         return kron_nlml(tuple([K0] + K_modes), y_train, self.noise(params))
+
+    def tracking_aux0(self, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Initial aux carry for `nll_tracked`: (V0, max_res).  V0 is the
+        identity — step 0 of the schedule always pays the full eigh, so
+        the bootstrap content never matters."""
+        return (jnp.eye(n, dtype=jnp.float32), jnp.zeros((), jnp.float32))
+
+    def nll_tracked(
+        self,
+        params,
+        aux,
+        step,
+        x_train,
+        y_train,
+        y_var=None,
+        refresh_every: int = 16,
+        sweeps: int = 1,
+    ):
+        """Training-loop NLML with the mode-0 eigendecomposition tracked
+        across scan steps (`ops/kron.py:tracked_kron_nlml`): XLA:TPU's
+        serial QDWH eigh is ~48 of the 51 ms hogp1024 step; warm-started
+        Jacobi refinement replaces it with MXU GEMMs on all but every
+        ``refresh_every``-th step (K-FAC-style amortized decomposition).
+
+        ``aux = (V_prev, max_res)`` threads the eigenbasis and the
+        running max of the tracking residual through the scan (use
+        `train.fit.adam_scan_aux` / ``fit(..., aux0=...)``); ``step`` is
+        the scan's float step counter.  Same signature contract as
+        `nll` otherwise; value/gradients agree with `nll` to within the
+        tracked residual (pinned by tests/test_hogp_gar.py).
+        """
+        from fidelityfusion_tpu.ops.kron import tracked_kron_nlml
+
+        V_prev, max_res = aux
+        K0, K_modes = self._grams(params, x_train, y_var)
+        loss, V_new, res = tracked_kron_nlml(refresh_every, sweeps)(
+            tuple([K0] + K_modes), y_train, self.noise(params), V_prev, step
+        )
+        return loss, (V_new, jnp.maximum(max_res, res))
 
     def predict(
         self,

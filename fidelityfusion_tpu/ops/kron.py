@@ -10,6 +10,7 @@ never materialized — everything runs through per-mode factors.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Sequence, Tuple
 
 import jax
@@ -71,12 +72,25 @@ def kron_nlml(Ks: Tuple[jnp.ndarray, ...], y: jnp.ndarray, noise: jnp.ndarray):
     return loss
 
 
+def _clamp_psd(lams):
+    """Clamp per-mode eigenvalues at zero.  Every mode Gram is PSD by
+    construction, but f32 eigh returns small negatives — harmless alone,
+    catastrophic in the Kronecker product: on TPU, QDWH's residual puts
+    lam_min ~ -1e-3 on a realistic n=1024 SE Gram, and -1e-3 times the
+    OTHER modes' eigenvalue products (up to ~1e5 at (32,32,32)) drives
+    A = prod(lam) + noise to ~-250 -> log NaN.  (torch-CPU f64 LAPACK
+    keeps negatives at ~1e-12, which is why the reference never guards —
+    `hogp_simple.py:93-96`.)  Clamped, A >= noise > 0 always."""
+    return [jnp.maximum(lam, 0.0) for lam in lams]
+
+
 def _kron_nlml_eigs(Ks, y, noise):
     eigvals, eigvecs = [], []
     for K in Ks:
         lam, V = jnp.linalg.eigh(K)
         eigvals.append(lam)
         eigvecs.append(V)
+    eigvals = _clamp_psd(eigvals)
     A = rank1_tucker(eigvals) + noise
     T1 = multi_mode_dot(y, [V.T for V in eigvecs])
     return eigvals, eigvecs, A, T1
@@ -124,6 +138,63 @@ def _kron_nlml_bwd(res, t):
 
 
 kron_nlml.defvjp(_kron_nlml_fwd, _kron_nlml_bwd)
+
+
+@lru_cache(maxsize=None)
+def tracked_kron_nlml(refresh_every: int = 16, sweeps: int = 1):
+    """`kron_nlml` with the LARGE mode's eigendecomposition warm-started
+    across training steps (`ops/spectral.py`): inside an Adam scan the
+    mode-0 Gram changes by O(lr) per step, so the previous step's
+    eigenbasis is refined with GEMM-only Jacobi sweeps instead of paying
+    XLA's serial QDWH eigh (~48 of the 51 ms hogp1024 step), with a full
+    eigh refresh every ``refresh_every`` steps bounding staleness.
+
+    Returns a function ``f(Ks, y, noise, V0, step) -> (loss, V_new, res)``
+    with a custom VJP identical to `kron_nlml`'s (the closed-form mode-Gram
+    gradients reuse the tracked eigenpairs; V_new/res are aux outputs with
+    no gradient).  ``step`` must be the scan's float step counter —
+    unbatched under vmapped restarts so the refresh `cond` stays a real
+    branch.  The function object is cached so jit sees a stable identity.
+    """
+    from fidelityfusion_tpu.ops.spectral import tracked_eigh
+
+    @jax.custom_vjp
+    def f(Ks, y, noise, V0, step):
+        out, _ = f_fwd(Ks, y, noise, V0, step)
+        return out
+
+    def f_fwd(Ks, y, noise, V0, step):
+        lam0, V0n, res = tracked_eigh(
+            Ks[0], V0, step, refresh_every=refresh_every, sweeps=sweeps
+        )
+        eigvals, eigvecs = [lam0], [V0n]
+        for K in Ks[1:]:
+            lam, V = jnp.linalg.eigh(K)
+            eigvals.append(lam)
+            eigvecs.append(V)
+        eigvals = _clamp_psd(eigvals)
+        A = rank1_tucker(eigvals) + noise
+        T1 = multi_mode_dot(y, [V.T for V in eigvecs])
+        nd = float(jnp.size(y))
+        quad = jnp.sum(T1**2 / A)
+        loss = 0.5 * (nd * jnp.log(2.0 * jnp.pi) + jnp.sum(jnp.log(A)) + quad)
+        loss = loss / nd
+        return (loss, V0n, res), (tuple(eigvals), tuple(eigvecs), A, T1)
+
+    def f_bwd(resids, ts):
+        t_loss, _t_v, _t_res = ts
+        dKs, dy, dnoise = _kron_nlml_bwd(resids, t_loss)
+        _, eigvecs, _, _ = resids
+        return (
+            dKs,
+            dy,
+            dnoise,
+            jnp.zeros_like(eigvecs[0]),
+            jnp.zeros((), eigvecs[0].dtype),
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
 
 
 def rank1_tucker(factors: Sequence[jnp.ndarray]) -> jnp.ndarray:

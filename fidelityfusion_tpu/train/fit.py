@@ -106,6 +106,58 @@ def adam_scan(loss_fn, p0, opt, steps, trainable=None, loss_args=()):
     return p_final, good_p, losses
 
 
+def adam_scan_aux(loss_fn, p0, aux0, opt, steps, trainable=None, loss_args=()):
+    """`adam_scan` for loss functions that thread an auxiliary carry —
+    e.g. the HOGP tracked eigenbasis (`models/hogp.py:nll_tracked`).
+
+    ``loss_fn(p, aux, step, *loss_args) -> (loss, new_aux)`` where
+    ``step`` is the scan's float32 step counter, passed OUTSIDE the aux
+    so schedule predicates (`step % refresh == 0`) stay unbatched under
+    vmapped restarts and `lax.cond` branches are preserved.  NaN
+    rollback matches `adam_scan`: a non-finite step keeps the last good
+    params, optimizer state, AND aux.
+
+    Returns ``(p_final, good_p, losses, aux_final)``.
+    """
+    opt_state0 = opt.init(p0)
+
+    def step_fn(carry, t):
+        p, opt_state, good_p, good_opt, aux = carry
+        (loss, new_aux), grads = jax.value_and_grad(
+            lambda pp: loss_fn(pp, aux, t, *loss_args), has_aux=True
+        )(p)
+        grads = _masked_updates(grads, trainable)
+        updates, new_opt_state = opt.update(grads, opt_state, p)
+        new_p = optax.apply_updates(p, updates)
+        finite = jnp.isfinite(loss) & jnp.all(
+            jnp.asarray(
+                [
+                    jnp.all(jnp.isfinite(u))
+                    for u in jax.tree_util.tree_leaves(updates)
+                ]
+            )
+        )
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+
+        return (
+            sel(new_p, good_p),
+            sel(new_opt_state, good_opt),
+            sel(p, good_p),
+            sel(opt_state, good_opt),
+            sel(new_aux, aux),
+        ), loss
+
+    xs = jnp.arange(steps, dtype=jnp.float32)
+    (p_final, _, good_p, _, aux_final), losses = jax.lax.scan(
+        step_fn, (p0, opt_state0, p0, opt_state0, aux0), xs
+    )
+    return p_final, good_p, losses, aux_final
+
+
 def _scan_train(loss_fn, p0, trainable, loss_args, steps, opt):
     # return the last VERIFIED-finite params: p_final is one never-
     # evaluated update ahead, and under the NaN-rollback 2-cycle
@@ -123,6 +175,30 @@ def _fit_cached(loss_fn, p0, trainable, loss_args, steps, lr):
     return _scan_train(loss_fn, p0, trainable, loss_args, steps, optax.adam(lr))
 
 
+@partial(jax.jit, static_argnames=("loss_fn", "steps", "lr"))
+def _fit_aux_cached(loss_fn, p0, aux0, trainable, loss_args, steps, lr):
+    _, good_p, losses, _ = adam_scan_aux(
+        loss_fn, p0, aux0, optax.adam(lr), steps,
+        trainable=trainable, loss_args=loss_args,
+    )
+    return good_p, losses
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "steps", "lr"))
+def _fit_restarts_aux_cached(loss_fn, batch, aux0, trainable, loss_args,
+                             steps, lr):
+    opt = optax.adam(lr)
+
+    def one(p0, a0):
+        _, good_p, losses, _ = adam_scan_aux(
+            loss_fn, p0, a0, opt, steps,
+            trainable=trainable, loss_args=loss_args,
+        )
+        return good_p, losses
+
+    return jax.vmap(one)(batch, aux0)
+
+
 def fit(
     loss_fn: Callable[..., jnp.ndarray],
     params: dict,
@@ -131,8 +207,14 @@ def fit(
     trainable: Optional[dict] = None,
     optimizer: Optional[optax.GradientTransformation] = None,
     loss_args: Optional[tuple] = None,
+    aux0=None,
 ) -> FitResult:
     """Minimize ``loss_fn`` over ``params`` with Adam for ``steps`` steps.
+
+    ``aux0``: when given, ``loss_fn(p, aux, step, *loss_args) ->
+    (loss, new_aux)`` and the scan threads the aux carry (see
+    `adam_scan_aux`; used by the HOGP tracked-spectrum path).  Requires
+    ``loss_args`` (the cached-program path).
 
     The entire loop runs inside one jit-compiled `lax.scan`.  ``trainable``
     is an optional pytree of bools masking out frozen leaves (e.g. MC
@@ -149,6 +231,16 @@ def fit(
     """
     if trainable is None and isinstance(params, dict):
         trainable = _frozen_mask(params)
+
+    if aux0 is not None:
+        assert loss_args is not None and optimizer is None, (
+            "aux0 requires the cached loss_args path"
+        )
+        p_final, losses = _fit_aux_cached(
+            loss_fn, params, aux0, trainable, tuple(loss_args),
+            int(steps), float(lr),
+        )
+        return FitResult(p_final, losses)
 
     if loss_args is not None and optimizer is None:
         p_final, losses = _fit_cached(
@@ -190,9 +282,15 @@ def fit_restarts(
     lr: float = 1e-2,
     trainable: Optional[dict] = None,
     loss_args: Optional[tuple] = None,
+    aux0=None,
 ) -> Tuple[dict, FitResult]:
     """vmap the training loop over a leading restart axis of ``params_batch``
     and select the restart with the lowest final loss.
+
+    ``aux0``: per-restart aux carry batch (leading axis = restarts) for
+    aux-threading losses (`adam_scan_aux` signature); requires
+    ``loss_args``.  Winner re-verification evaluates the loss at step 0
+    — a refresh step, so the verification NLML is the exact one.
 
     Returns ``(best_params, FitResult(all_params, all_losses))`` where the
     batch members keep their leading axis for inspection/sharding.
@@ -204,7 +302,13 @@ def fit_restarts(
     if trainable is None and isinstance(params_batch, dict):
         trainable = _frozen_mask(params_batch)
 
-    if loss_args is not None:
+    if aux0 is not None:
+        assert loss_args is not None, "aux0 requires the cached loss_args path"
+        params_all, losses_all = _fit_restarts_aux_cached(
+            loss_fn, params_batch, aux0, trainable, tuple(loss_args),
+            int(steps), float(lr),
+        )
+    elif loss_args is not None:
         params_all, losses_all = _fit_restarts_cached(
             loss_fn, params_batch, trainable, tuple(loss_args),
             int(steps), float(lr),
@@ -241,7 +345,16 @@ def fit_restarts(
     # on tl1 stages whose optimum drives the noise to ~1e-5).  Walk the
     # candidates best-first until one is finite un-batched.
     order = np.argsort(np.asarray(score))
-    eval_fn = jax.jit(loss_fn) if loss_args is not None else None
+    if aux0 is not None:
+        # evaluate at step 0 = a refresh step: exact-eigh verification
+        aux_one = jax.tree_util.tree_map(lambda a: a[0], aux0)
+        eval_fn = jax.jit(
+            lambda p, *a: loss_fn(p, aux_one, jnp.float32(0), *a)[0]
+        )
+    elif loss_args is not None:
+        eval_fn = jax.jit(loss_fn)
+    else:
+        eval_fn = None
     best_params = None
     for idx in order:
         if not np.isfinite(np.asarray(score)[idx]):

@@ -1,0 +1,238 @@
+"""Warm-started spectral tracking (`ops/spectral.py`,
+`ops/kron.py:tracked_kron_nlml`, `train/fit.py:adam_scan_aux`).
+
+On TPU the HOGP mode-0 eigh is ~48 of the 51 ms hogp1024 step
+(scripts/profile_hogp.py); tracking replaces it with GEMM Jacobi sweeps
+between scheduled full-eigh refreshes.  These tests pin the math on CPU:
+refinement contracts the residual, clustered spectra stay stable, the
+tracked NLML matches the exact path along a real Adam trajectory, and
+the aux-carrying scan trains to the same optimum.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from fidelityfusion_tpu.models.hogp import HOGP
+from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+from fidelityfusion_tpu.ops.kron import kron_nlml, tracked_kron_nlml
+from fidelityfusion_tpu.ops.spectral import jacobi_refine, tracked_eigh
+from fidelityfusion_tpu.train.fit import adam_scan, adam_scan_aux
+
+
+def _se_gram(n, seed=0, ls=1.0, jitter=1e-3):
+    rng = np.random.default_rng(seed)
+    x = (rng.random((n, 1)) * 10).astype(np.float32)
+    d2 = (x - x.T) ** 2
+    return np.exp(-0.5 * d2 / ls**2).astype(np.float32) + jitter * np.eye(
+        n, dtype=np.float32
+    )
+
+
+def test_jacobi_refine_contracts_residual_from_warm_start():
+    n = 64
+    K = _se_gram(n)
+    w, V = np.linalg.eigh(K)
+    # perturb K as one Adam step would (O(1e-2) relative)
+    K2 = K + 1e-2 * _se_gram(n, seed=1, ls=2.0)
+    K2 = jnp.asarray(0.5 * (K2 + K2.T))
+    w1, V1, res1 = jacobi_refine(K2, jnp.asarray(V), sweeps=1)
+    # NOTE: off(B) does not decay to zero here — the SE Gram is
+    # numerically low-rank, and the perturbation scrambles the
+    # near-degenerate small-eigenvalue cluster faster than simultaneous
+    # rotations can chase it.  What the NLML feels is the RECONSTRUCTION
+    # error ||K - V diag(w) V^T|| (= ||off(B)|| in absolute terms),
+    # which stays eigh-class relative to ||K||.
+    assert float(res1) < 2e-2
+    # V stays orthogonal
+    orth = np.max(np.abs(np.asarray(V1.T @ V1) - np.eye(n)))
+    assert orth < 5e-5
+    # Reconstruction error: bounded, but NOT eigh-class here — the error
+    # lives in the jitter-floor cluster (eigenvalues ~1e-3 scrambled by a
+    # 1e-2 perturbation), which the NLML is insensitive to (noise floor
+    # dominates A there); the trajectory tests below pin the bound that
+    # matters (NLML value/grad deltas).
+    rec = np.max(np.abs(np.asarray(V1 * w1[None, :] @ V1.T) - np.asarray(K2)))
+    assert rec < 2e-2 * float(np.max(np.abs(K2)))
+
+
+def test_jacobi_refine_handles_clustered_spectrum():
+    """Degenerate eigenvalues: the exact-tangent rotation saturates at 45
+    degrees instead of dividing by the vanishing gap (the F-matrix
+    failure of autodiff-through-eigh)."""
+    n = 32
+    rng = np.random.default_rng(2)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.concatenate([np.full(8, 2.0), np.full(8, 2.0 + 1e-6),
+                          np.linspace(0.1, 1.0, 16)]).astype(np.float32)
+    K = (Q * lam[None, :]) @ Q.T
+    K = 0.5 * (K + K.T)
+    # warm basis from a nearby matrix whose perturbation couples the cluster
+    P = rng.standard_normal((n, n)).astype(np.float32) * 1e-3
+    _, V0 = np.linalg.eigh(K + 0.5 * (P + P.T))
+    w, V, res = jacobi_refine(jnp.asarray(K), jnp.asarray(V0), sweeps=2)
+    assert np.all(np.isfinite(np.asarray(w)))
+    assert np.all(np.isfinite(np.asarray(V)))
+    rec = np.max(np.abs(np.asarray(V * w[None, :] @ V.T) - K))
+    assert rec < 5e-3 * float(np.max(np.abs(K)))
+
+
+def test_tracked_eigh_refresh_schedule():
+    K = jnp.asarray(_se_gram(48))
+    garbage = jnp.zeros((48, 48), jnp.float32)
+    # step 0 (and any multiple of refresh) ignores V_prev entirely
+    w, V, res = tracked_eigh(K, garbage, jnp.float32(0), refresh_every=4)
+    w_ref, V_ref = jnp.linalg.eigh(K)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=1e-5)
+    assert float(res) == 0.0
+    # non-refresh step refines the given basis
+    w2, V2, res2 = tracked_eigh(K, V_ref, jnp.float32(1), refresh_every=4)
+    assert float(res2) < 1e-5  # warm start was exact
+
+
+def test_tracked_nlml_matches_exact_along_adam_trajectory():
+    """Run 24 Adam steps with the EXACT kron_nlml; at every step evaluate
+    the tracked NLML (refresh_every=8, carrying V) and compare value and
+    kernel-param gradients."""
+    n, shape = 48, (4, 5)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((n, 1)) * 10, jnp.float32)
+    y = jnp.asarray(rng.standard_normal((n,) + shape), jnp.float32)
+    hogp = HOGP(kernel=SquaredExponentialKernel(), output_shape=shape)
+    p = hogp.init_params(1)
+    opt = optax.adam(5e-2)
+    s = opt.init(p)
+
+    exact = jax.jit(jax.value_and_grad(lambda pp: hogp.nll(pp, x, y)))
+    f_tracked = tracked_kron_nlml(refresh_every=8, sweeps=1)
+
+    def tracked_val_grad(pp, V, step):
+        def g(pp):
+            K0, K_modes = hogp._grams(pp, x)
+            loss, Vn, res = f_tracked(
+                tuple([K0] + K_modes), y, hogp.noise(pp), V, step
+            )
+            return loss, (Vn, res)
+
+        (loss, (Vn, res)), grads = jax.value_and_grad(g, has_aux=True)(pp)
+        return loss, grads, Vn, res
+
+    V = jnp.eye(n, dtype=jnp.float32)
+    max_dval, max_dgrad, max_res = 0.0, 0.0, 0.0
+    for step in range(24):
+        loss_e, grad_e = exact(p)
+        loss_t, grad_t, V, res = tracked_val_grad(p, V, jnp.float32(step))
+        max_res = max(max_res, float(res))
+        max_dval = max(max_dval, abs(float(loss_t - loss_e)))
+        ge = np.concatenate([np.ravel(v) for v in jax.tree_util.tree_leaves(grad_e)])
+        gt = np.concatenate([np.ravel(v) for v in jax.tree_util.tree_leaves(grad_t)])
+        rel = np.linalg.norm(gt - ge) / (np.linalg.norm(ge) + 1e-12)
+        max_dgrad = max(max_dgrad, float(rel))
+        u, s = opt.update(grad_e, s, p)
+        p = optax.apply_updates(p, u)
+
+    # The residual accumulates in the jitter-floor eigenvalue cluster
+    # between refreshes (simultaneous rotations interfere there); the
+    # VALUE stays tight and the gradient noise is Adam-benign — training
+    # parity is pinned by the next test.
+    assert max_res < 0.15, max_res
+    assert max_dval < 5e-3, max_dval
+    assert max_dgrad < 0.15, max_dgrad
+
+
+def test_adam_scan_aux_trains_hogp_to_exact_optimum():
+    """Full tracked training (adam_scan_aux + nll_tracked) lands at the
+    same NLML as exact training, and the running-max residual stays
+    small."""
+    n, shape = 40, (6, 6)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((n, 1)) * 8, jnp.float32)
+    base = np.sin(np.linspace(0, np.pi, shape[0]))
+    y = jnp.asarray(
+        np.sin(np.asarray(x))[:, :, None] * np.outer(base, base)[None]
+        + 0.05 * rng.standard_normal((n,) + shape),
+        jnp.float32,
+    )
+    hogp = HOGP(kernel=SquaredExponentialKernel(), output_shape=shape)
+    p0 = hogp.init_params(1)
+    opt = optax.adam(5e-2)
+    steps = 60
+
+    _, good_exact, losses_exact = adam_scan(
+        lambda pp: hogp.nll(pp, x, y), p0, opt, steps
+    )
+
+    def loss_tracked(pp, aux, step):
+        return hogp.nll_tracked(pp, aux, step, x, y, refresh_every=10)
+
+    _, good_tracked, losses_tracked, (V_fin, max_res) = adam_scan_aux(
+        loss_tracked, p0, hogp.tracking_aux0(n), opt, steps
+    )
+    assert float(max_res) < 0.15
+    # same optimum (loss curves track each other closely)
+    assert abs(float(losses_exact[-1]) - float(losses_tracked[-1])) < 5e-3
+    nll_e = float(hogp.nll(good_exact, x, y))
+    nll_t = float(hogp.nll(good_tracked, x, y))
+    assert abs(nll_e - nll_t) < 5e-3
+
+
+def test_adam_scan_aux_under_vmap_restarts():
+    """The tracked scan must vmap over restarts (per-restart V in aux,
+    shared step counter outside it)."""
+    n, shape = 24, (4, 4)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((n, 1)) * 8, jnp.float32)
+    y = jnp.asarray(rng.standard_normal((n,) + shape), jnp.float32)
+    hogp = HOGP(kernel=SquaredExponentialKernel(), output_shape=shape)
+    p0 = hogp.init_params(1)
+    R = 3
+    batch = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a * (1.0 + 0.1 * i) for i in range(R)]), p0
+    )
+    opt = optax.adam(1e-2)
+
+    def loss_tracked(pp, aux, step):
+        return hogp.nll_tracked(pp, aux, step, x, y, refresh_every=5)
+
+    def one(p):
+        return adam_scan_aux(
+            loss_tracked, p, hogp.tracking_aux0(n), opt, 12
+        )
+
+    p_fin, good_p, losses, (V_fin, max_res) = jax.jit(jax.vmap(one))(batch)
+    assert losses.shape == (R, 12)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert float(jnp.max(max_res)) < 0.15
+
+
+def test_train_gar_tracked_path(monkeypatch):
+    """End-to-end GAR training through the tracked-spectrum stage path
+    (threshold patched down so the small fixture takes it)."""
+    from fidelityfusion_tpu.data.pde import generate_poisson_mf_dataset
+    from fidelityfusion_tpu.models import gar as gar_mod
+    from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
+
+    monkeypatch.setattr(gar_mod, "_TRACK_N_THRESHOLD", 8)
+
+    x, ys = generate_poisson_mf_dataset(
+        n_samples=24, resolutions=(6, 10), d_in=4, seed=3
+    )
+    dm = MultiFidelityDataManager(
+        [
+            {"raw_fidelity_name": "0", "fidelity_indicator": 0,
+             "X": x, "Y": ys[0]},
+            {"raw_fidelity_name": "1", "fidelity_indicator": 1,
+             "X": x[:16], "Y": ys[1][:16]},
+        ]
+    )
+    model = gar_mod.GAR(
+        2, [SquaredExponentialKernel() for _ in range(2)],
+        data_shape_list=[(6, 6), (10, 10)], input_dim=4,
+    )
+    gar_mod.train_GAR(model, dm, max_iter=30, lr_init=1e-2, n_restarts=2)
+    mean, var = model.forward(dm, jnp.asarray(x[:5], jnp.float32))
+    assert mean.shape == (5, 10, 10)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.isfinite(np.asarray(var)))
