@@ -53,6 +53,7 @@ def sharded_fit_restarts(
     lr: float = 1e-2,
     axis_name: str = "restart",
     loss_args: Optional[tuple] = None,
+    aux0=None,
 ):
     """`train/fit.py:fit_restarts` with the restart axis sharded across the
     mesh: each device trains its own restarts; the best-restart argmax is a
@@ -61,14 +62,23 @@ def sharded_fit_restarts(
     ``loss_args`` enables fit_restarts' cached-program path (stable-identity
     ``loss_fn`` called as ``loss_fn(p, *loss_args)``).
 
+    ``aux0``: per-restart aux carry batch (leading axis = restarts) for
+    aux-threading losses, e.g. the HOGP tracked-spectrum eigenbasis —
+    sharded over the mesh like the params (each device tracks its own
+    restarts' eigenbases; the refresh schedule keys on the shared step
+    counter, so the `cond` branch stays uniform across devices).
+
     Returns (best_params (replicated), losses (restarts, steps)).
     """
     from fidelityfusion_tpu.train.fit import fit_restarts
 
     params_batch = shard_leading_axis(params_batch, mesh, axis_name)
+    if aux0 is not None:
+        aux0 = shard_leading_axis(aux0, mesh, axis_name)
     with mesh:
         best, result = fit_restarts(
-            loss_fn, params_batch, steps=steps, lr=lr, loss_args=loss_args
+            loss_fn, params_batch, steps=steps, lr=lr, loss_args=loss_args,
+            aux0=aux0,
         )
     return best, result
 
