@@ -45,10 +45,11 @@ RECORDED = {
     "gram4096": 0.19,         # ms (driver r2, XLA ARD gram, full-precision
                               # cross term — bf16 grams are indefinite)
     "hogp128": 1847.0,        # steps/s, n=128 (32,32) fields (driver r2)
-    "hogp1024": 141.0,        # steps/s, n=1024 (32,32,32) fields; SHIPPING
+    "hogp1024": 133.0,        # steps/s, n=1024 (32,32,32) fields; SHIPPING
                               # tracked-spectrum path, amortized over the
                               # refresh_every=16 schedule (builder r3
-                              # 7.06 ms; exact path was 17.7 driver r2)
+                              # captures 133-142; exact path was 17.7
+                              # driver r2)
     "eigh1024": 9.67,         # ms, one 1024x1024 symmetric eigh (driver r2;
                               # eigenvectors unused -> XLA DCEs the
                               # accumulation GEMMs; with vectors USED the
