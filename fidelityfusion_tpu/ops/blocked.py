@@ -5,7 +5,7 @@ the batch on a single TPU core (R=32, n=1024 costs ~26x one
 factorization), which caps vmapped hyperparameter restarts — the
 framework's replacement for the reference's single fixed-init Adam
 (`FidelityFusion_Models/AR_autoRegression.py:104`).  Two Pallas attempts
-(`ops/pallas_batched.py`, `ops/pallas_cholesky.py`) lost to XLA because
+(now `benchmarks/retired/pallas_batched.py`, `.../pallas_cholesky.py`) lost to XLA because
 their per-panel VPU chains dominate.
 
 This module takes a third route, pure JAX, shaped so that `vmap` turns
