@@ -1,0 +1,153 @@
+"""Tune the tracked-spectrum refresh schedule on-chip.
+
+Stage `sched1024`: amortized step time + on-chip training parity at
+n=1024/(32,32,32) for refresh_every in {16, 32, 64}.
+
+Stage `eigh4096`: one full eigh(4096) with eigenvectors used (the
+refresh cost that bounds tracking at n=4096).
+
+Stage `hogp4096`: tracked amortized step at n=4096/(16,16,16) — the
+scale demo (exact eigh would dominate; tracking makes it trainable).
+
+Run: python scripts/measure_tracking_schedule.py <stage ...>
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chain(make_fn, L1, L2, reps=3):
+    f1, f2 = make_fn(L1), make_fn(L2)
+    float(f1()); float(f2())
+
+    def once(f):
+        t0 = time.time()
+        float(f())
+        return time.time() - t0
+
+    diffs = sorted((once(f2) - once(f1)) / (L2 - L1) for _ in range(reps))
+    return diffs[len(diffs) // 2], diffs[0], diffs[-1]
+
+
+def setup(n, shape, seed=0):
+    import jax.numpy as jnp
+    import optax
+
+    from fidelityfusion_tpu.models.hogp import HOGP
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    rng = np.random.default_rng(seed)
+    x = (rng.random((n, 1)) * 10).astype(np.float32)
+    y = rng.standard_normal((n,) + shape).astype(np.float32)
+    hogp = HOGP(kernel=SquaredExponentialKernel(), output_shape=shape)
+    p0 = hogp.init_params(1)
+    return hogp, p0, x, y, optax.adam(1e-2)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fidelityfusion_tpu.train.fit import adam_scan, adam_scan_aux
+
+    stages = sys.argv[1:] or ["sched1024"]
+    print("devices:", jax.devices(), "stages:", stages, flush=True)
+
+    if "sched1024" in stages:
+        n, shape = 1024, (32, 32, 32)
+        hogp, p0, x, y, opt = setup(n, shape)
+        aux0 = (np.eye(n, dtype=np.float32), np.zeros((), np.float32))
+
+        # exact reference params for parity
+        @jax.jit
+        def train_exact():
+            _, good, _ = adam_scan(lambda pp: hogp.nll(pp, x, y), p0, opt, 48)
+            return good
+
+        ge = train_exact()
+        nll_at = jax.jit(lambda pp: hogp.nll(pp, x, y))
+        ne = float(nll_at(ge))
+
+        for refresh in (16, 32, 64):
+            def mk(L, r=refresh):
+                def fn():
+                    def lt(pp, aux, t):
+                        return hogp.nll_tracked(pp, aux, t, x, y,
+                                                refresh_every=r)
+
+                    _, _, losses, _ = adam_scan_aux(lt, p0, aux0, opt, L)
+                    return jnp.sum(losses) * 1e-6
+
+                return jax.jit(fn)
+
+            # window spans the refresh cycle: steps [L1, L2) include
+            # L2/r refreshes, so the estimate is amortized
+            L1, L2 = (2, 34) if refresh == 16 else (2, 66)
+            med, lo, hi = chain(mk, L1, L2)
+
+            @jax.jit
+            def train_tracked(r=refresh):
+                def lt(pp, aux, t):
+                    return hogp.nll_tracked(pp, aux, t, x, y, refresh_every=r)
+
+                _, good, _, (V, mres) = adam_scan_aux(lt, p0, aux0, opt, 48)
+                return good, mres
+
+            gt, mres = train_tracked()
+            nt = float(nll_at(gt))
+            print(f"refresh={refresh}: {med*1e3:.2f} ms/step "
+                  f"[{lo*1e3:.2f},{hi*1e3:.2f}] -> {1/med:.0f} steps/s | "
+                  f"parity dnll {nt-ne:+.2e} max_res {float(mres):.4f}",
+                  flush=True)
+
+    if "eigh4096" in stages:
+        rng = np.random.default_rng(0)
+        xs = (rng.random((4096, 1)) * 10).astype(np.float32)
+        K = np.exp(-0.5 * (xs - xs.T) ** 2).astype(np.float32)
+        K += 1e-3 * np.eye(4096, dtype=np.float32)
+
+        @jax.jit
+        def one(M):
+            w, V = jnp.linalg.eigh(M)
+            return jnp.sum(w) + jnp.sum(V[0])
+
+        t0 = time.time()
+        float(one(K))
+        print(f"eigh4096 compile+first: {time.time()-t0:.1f}s", flush=True)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(one(K))
+            ts.append(time.time() - t0)
+        print(f"eigh4096 (vectors used, per-call): {sorted(ts)[1]*1e3:.0f} ms "
+              f"[{min(ts)*1e3:.0f},{max(ts)*1e3:.0f}]", flush=True)
+
+    if "hogp4096" in stages:
+        n, shape = 4096, (16, 16, 16)
+        hogp, p0, x, y, opt = setup(n, shape)
+        aux0 = (np.eye(n, dtype=np.float32), np.zeros((), np.float32))
+
+        for refresh in (64,):
+            def mk(L, r=refresh):
+                def fn():
+                    def lt(pp, aux, t):
+                        return hogp.nll_tracked(pp, aux, t, x, y,
+                                                refresh_every=r)
+
+                    _, _, losses, _ = adam_scan_aux(lt, p0, aux0, opt, L)
+                    return jnp.sum(losses) * 1e-6
+
+                return jax.jit(fn)
+
+            # tracked-only window (both chains pay the step-0 refresh)
+            med, lo, hi = chain(mk, 2, 10)
+            print(f"hogp4096 tracked step (refresh={refresh} outside window): "
+                  f"{med*1e3:.2f} ms [{lo*1e3:.2f},{hi*1e3:.2f}]", flush=True)
+
+
+if __name__ == "__main__":
+    main()
