@@ -45,11 +45,11 @@ RECORDED = {
     "gram4096": 0.19,         # ms (driver r2, XLA ARD gram, full-precision
                               # cross term — bf16 grams are indefinite)
     "hogp128": 1847.0,        # steps/s, n=128 (32,32) fields (driver r2)
-    "hogp1024": 133.0,        # steps/s, n=1024 (32,32,32) fields; SHIPPING
+    "hogp1024": 180.0,        # steps/s, n=1024 (32,32,32) fields; SHIPPING
                               # tracked-spectrum path, amortized over the
-                              # refresh_every=16 schedule (builder r3
-                              # captures 133-142; exact path was 17.7
-                              # driver r2)
+                              # refresh_every=32 schedule (builder r3
+                              # capture; 133-142 at refresh=16; exact
+                              # path was 17.7 driver r2)
     "eigh1024": 9.67,         # ms, one 1024x1024 symmetric eigh (driver r2;
                               # eigenvectors unused -> XLA DCEs the
                               # accumulation GEMMs; with vectors USED the
@@ -322,7 +322,7 @@ def stage_hogp(n: int, shape):
 
     For n >= 512 this measures the SHIPPING training path: warm-started
     spectral tracking (`models/hogp.py:nll_tracked` via
-    `train/fit.py:adam_scan_aux`, refresh_every=16) — XLA:TPU's serial
+    `train/fit.py:adam_scan_aux`, refresh_every=32) — XLA:TPU's serial
     QDWH eigh is ~48 of the 51 ms exact step at n=1024
     (scripts/profile_hogp.py), and the tracked path replaces it with MXU
     Jacobi sweeps between scheduled refreshes.  The chain window (2, 34)
@@ -347,14 +347,14 @@ def stage_hogp(n: int, shape):
         def mk(L):
             def fn():
                 def lt(pp, aux, t):
-                    return hogp.nll_tracked(pp, aux, t, x, y, refresh_every=16)
+                    return hogp.nll_tracked(pp, aux, t, x, y, refresh_every=32)
 
                 _, _, losses, _ = adam_scan_aux(lt, p0, aux0, opt, L)
                 return jnp.sum(losses) * 1e-6
 
             return jax.jit(fn)
 
-        per = _chain_time(mk, 2, 34)
+        per = _chain_time(mk, 2, 66)
         return 1.0 / per
 
     def mk(L):

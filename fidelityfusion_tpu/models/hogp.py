@@ -191,7 +191,7 @@ class HOGP:
         x_train,
         y_train,
         y_var=None,
-        refresh_every: int = 16,
+        refresh_every: int = 32,
         sweeps: int = 1,
     ):
         """Training-loop NLML with the mode-0 eigendecomposition tracked

@@ -141,7 +141,7 @@ kron_nlml.defvjp(_kron_nlml_fwd, _kron_nlml_bwd)
 
 
 @lru_cache(maxsize=None)
-def tracked_kron_nlml(refresh_every: int = 16, sweeps: int = 1):
+def tracked_kron_nlml(refresh_every: int = 32, sweeps: int = 1):
     """`kron_nlml` with the LARGE mode's eigendecomposition warm-started
     across training steps (`ops/spectral.py`): inside an Adam scan the
     mode-0 Gram changes by O(lr) per step, so the previous step's
