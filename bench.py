@@ -45,11 +45,10 @@ RECORDED = {
     "gram4096": 0.19,         # ms (driver r2, XLA ARD gram, full-precision
                               # cross term — bf16 grams are indefinite)
     "hogp128": 1847.0,        # steps/s, n=128 (32,32) fields (driver r2)
-    "hogp1024": 180.0,        # steps/s, n=1024 (32,32,32) fields; SHIPPING
+    "hogp1024": 172.17,       # steps/s, n=1024 (32,32,32) fields; SHIPPING
                               # tracked-spectrum path, amortized over the
-                              # refresh_every=32 schedule (builder r3
-                              # capture; 133-142 at refresh=16; exact
-                              # path was 17.7 driver r2)
+                              # refresh_every=32 schedule (driver r3;
+                              # exact path was 17.7 driver r2)
     "eigh1024": 9.67,         # ms, one 1024x1024 symmetric eigh (driver r2;
                               # eigenvectors unused -> XLA DCEs the
                               # accumulation GEMMs; with vectors USED the
@@ -325,9 +324,9 @@ def stage_hogp(n: int, shape):
     `train/fit.py:adam_scan_aux`, refresh_every=32) — XLA:TPU's serial
     QDWH eigh is ~48 of the 51 ms exact step at n=1024
     (scripts/profile_hogp.py), and the tracked path replaces it with MXU
-    Jacobi sweeps between scheduled refreshes.  The chain window (2, 34)
-    spans two refreshes, so the number is AMORTIZED, not
-    best-tracked-step."""
+    Jacobi sweeps between scheduled refreshes.  The chain window (2, 66)
+    spans refreshes at steps 0, 32 and 64, so the number is AMORTIZED,
+    not best-tracked-step."""
     _watchdog(420)
     import jax
     import jax.numpy as jnp

@@ -140,8 +140,16 @@ def _kron_nlml_bwd(res, t):
 kron_nlml.defvjp(_kron_nlml_fwd, _kron_nlml_bwd)
 
 
-@lru_cache(maxsize=None)
 def tracked_kron_nlml(refresh_every: int = 32, sweeps: int = 1):
+    """Canonicalizing shim over `_tracked_kron_nlml` so positional and
+    keyword invocations of the same (refresh_every, sweeps) config share
+    ONE cached callable (lru_cache keys positional vs keyword calls
+    separately, which would duplicate jit program caches)."""
+    return _tracked_kron_nlml(int(refresh_every), int(sweeps))
+
+
+@lru_cache(maxsize=None)
+def _tracked_kron_nlml(refresh_every: int = 32, sweeps: int = 1):
     """`kron_nlml` with the LARGE mode's eigendecomposition warm-started
     across training steps (`ops/spectral.py`): inside an Adam scan the
     mode-0 Gram changes by O(lr) per step, so the previous step's

@@ -233,9 +233,11 @@ def fit(
         trainable = _frozen_mask(params)
 
     if aux0 is not None:
-        assert loss_args is not None and optimizer is None, (
-            "aux0 requires the cached loss_args path"
-        )
+        if loss_args is None or optimizer is not None:
+            raise ValueError(
+                "aux0 requires the cached loss_args path "
+                "(pass loss_args and leave optimizer=None)"
+            )
         p_final, losses = _fit_aux_cached(
             loss_fn, params, aux0, trainable, tuple(loss_args),
             int(steps), float(lr),
@@ -303,7 +305,8 @@ def fit_restarts(
         trainable = _frozen_mask(params_batch)
 
     if aux0 is not None:
-        assert loss_args is not None, "aux0 requires the cached loss_args path"
+        if loss_args is None:
+            raise ValueError("aux0 requires the cached loss_args path")
         params_all, losses_all = _fit_restarts_aux_cached(
             loss_fn, params_batch, aux0, trainable, tuple(loss_args),
             int(steps), float(lr),
