@@ -122,17 +122,29 @@ def _candidate_grid(key, search_range, x_dimension, n):
 
 
 class ContinuousFidelityES:
-    """Entropy search over continuous fidelities (`Continuous/MF_ES.py:8-88`
-    + `Continuous/ES.py:25-178`).
+    """MAX-VALUE entropy search over continuous fidelities
+    (`Continuous/MF_ES.py:8-88` + `Continuous/ES.py:25-178` redesigned).
 
-    The reference draws paired random (x, z) candidate grids and returns
-    the argmax of an emukit-EPMGP entropy-search score.  Self-contained
-    TPU re-design: p(argmin) over the x grid is estimated by MC sampling
-    of the diagonal top-fidelity posterior; candidate (x_i, z_i) is scored
-    by the reduction in p_min entropy when the posterior variance at x_i
-    collapses by the z-correlation factor xi(z_i)^2 = 1 - phi(z_i)^2 (an
-    observation at fidelity z carries phi(z)^2 of the top-fidelity
-    information), divided by cost(z_i) when ``cost_aware``.
+    The reference scores candidates by the entropy of the ARGMAX-location
+    distribution (emukit-EPMGP p_min).  The recorded continuous protocol
+    judges strategies by the best OBSERVED top-fidelity value
+    (`Experiments/MFBO_continuous/MF_BO_continuous.py:100`), and argmax-
+    location entropy is the wrong currency for that metric — the same
+    diagnosis that led to the best-observed cfKG redesign (`bo/cfkg.py`;
+    round-3 evidence: location-ES lost to reference cfKG -3.62 vs -3.24).
+    This class therefore scores by the entropy of the optimum's VALUE
+    distribution (max-value entropy search, the information-theoretic
+    dual in the value currency):
+
+        alpha(x) = E_{y*}[ gamma*phi(gamma)/(2*Phi(gamma))
+                           - log Phi(gamma) ],
+        gamma    = (y* - mu_top(x)) / sigma_top(x),
+
+    with y* sampled by MC from the joint top-fidelity posterior max over
+    the candidate grid.  A fidelity-z observation carries phi(z)^2 of the
+    top-fidelity information (SE correlation over z), so candidate
+    (x_i, z_i) scores phi(z_i)^2 * alpha(x_i) / cost(z_i) — information
+    about the optimum's value per unit cost.
     """
 
     def __init__(
@@ -162,32 +174,34 @@ class ContinuousFidelityES:
         )
 
     def compute_next(self) -> Tuple[np.ndarray, float]:
+        from jax.scipy.stats import norm as jnorm
+
         z_top = float(self.search_range[-1][-1])
         mean, var = self.posterior_fn(jnp.asarray(self.xs), z_top)
         mean = mean.reshape(-1)
+        if not self.maximize:  # mirror so the formulas maximize
+            mean = -mean
         std = jnp.sqrt(jnp.maximum(var.reshape(-1), 1e-12))
 
+        # MC samples of the top-fidelity optimum VALUE y* over the grid
         key = jax.random.PRNGKey(self.seed + 131)
         eps = jax.random.normal(key, (self.n_mc, mean.shape[0]))
-        argbest = jnp.argmax if self.maximize else jnp.argmin
+        y_star = jnp.max(mean[None, :] + std[None, :] * eps, axis=1)  # (M,)
+        # y* below a candidate's own mean gives no truncation information;
+        # clamp gamma for numerical sanity of log Phi
+        gamma = (y_star[None, :] - mean[:, None]) / std[:, None]  # (n, M)
+        gamma = jnp.clip(gamma, -6.0, 10.0)
+        cdf = jnp.maximum(jnorm.cdf(gamma), 1e-10)
+        alpha = jnp.mean(
+            gamma * jnorm.pdf(gamma) / (2.0 * cdf) - jnp.log(cdf), axis=1
+        )
 
-        def pmin_entropy(std_v):
-            samples = mean[None, :] + std_v[None, :] * eps
-            mins = argbest(samples, axis=1)
-            counts = jnp.bincount(mins, length=mean.shape[0]) + 1e-3
-            p = counts / jnp.sum(counts)
-            return -jnp.sum(p * jnp.log(p))
-
-        h0 = pmin_entropy(std)
-        phi = jnp.exp(-0.5 * ((jnp.asarray(self.zs) - z_top) / self.length_scale_z) ** 2)
-        xi2 = jnp.maximum(1.0 - phi**2, 0.0)
-
-        def h_after(i):
-            # observing at (x_i, z_i) shrinks var at x_i by factor xi(z_i)^2
-            return pmin_entropy(std.at[i].set(std[i] * jnp.sqrt(xi2[i])))
-
-        gains = h0 - jax.vmap(h_after)(jnp.arange(len(self.zs)))
-        scores = np.asarray(gains)
+        # information fraction a fidelity-z observation carries about the
+        # top-fidelity value (SE correlation over z, `MF_UCB_optimise.py:42`)
+        phi = jnp.exp(
+            -0.5 * ((jnp.asarray(self.zs) - z_top) / self.length_scale_z) ** 2
+        )
+        scores = np.asarray(phi**2 * alpha)
         if self.cost_aware:
             scores = scores / np.maximum(self.cost.compute_cost(self.zs), 1e-9)
         j = int(np.argmax(scores))

@@ -345,9 +345,16 @@ def _export_cascade(model, data_manager, to_fidelity=None, diag=True,
             x_p = jnp.asarray(x_tr, jnp.float32)
             y_p = jnp.asarray(y_use, jnp.float32)
             mask = None
+        # one-time per-stage factorization: train data is frozen at
+        # export, so each acquisition call later is GEMM-only instead of
+        # the reference's per-call O(n^3) re-Cholesky (SURVEY §3.2,
+        # `AR_autoRegression.py:56-89`)
+        cache = model.gp_list[i].posterior_cache(
+            model.params["gp"][i], x_p, y_p, mask=mask
+        )
         stages.append(
             {
-                "x": x_p, "y": y_p, "mask": mask,
+                "x": x_p, "cache": cache, "mask": mask,
                 "gp": model.params["gp"][i],
                 "rho": rho, "shift": shift, "scale": scale,
                 "x_mean": x_mean, "x_std": x_std,
@@ -372,7 +379,12 @@ class ARPosterior:
 
     Semantics identical to `AR.forward` (raw x in, raw y out; consistent
     rho-recombination; per-stage x-normalization).  ``diag`` selects the
-    O(n^2 m) diagonal-variance fast path for acquisition scoring."""
+    O(n^2 m) diagonal-variance fast path for acquisition scoring.
+
+    Each stage's factorization is precomputed at export time
+    (`CIGP.posterior_cache`), so a call does only cross-Gram + GEMMs —
+    no per-call Cholesky (the reference re-factorizes every stage on
+    every forward, `AR_autoRegression.py:56-89`)."""
 
     gps: tuple  # per-stage CIGP specs (frozen dataclasses -> hashable)
     to_fidelity: int
@@ -384,8 +396,12 @@ class ARPosterior:
         for i in range(self.to_fidelity + 1):
             st = state["stages"][i]
             xt = (x_raw - st["x_mean"]) / st["x_std"]
-            predict = self.gps[i].predict_diag if self.diag else self.gps[i].predict
-            m, v = predict(st["gp"], st["x"], st["y"], xt, mask=st["mask"])
+            predict = (
+                self.gps[i].predict_diag_cached if self.diag
+                else self.gps[i].predict_cached
+            )
+            m, v = predict(st["gp"], st["cache"], st["x"], xt,
+                           mask=st["mask"])
             if i == 0:
                 mean, var = m, v
             else:

@@ -179,6 +179,39 @@ class CIGP:
             params, jnp.mean(self.kernel.diag(params["kernel"], x_train))
         )
 
+    def posterior_cache(self, params, x_train, y_train, y_var=None,
+                        mask=None) -> dict:
+        """One-time (inv(L), alpha) factorization of the training set for
+        repeated prediction (`ops/linalg.py:posterior_cache`): exported
+        posteriors call `predict_diag_cached` per candidate instead of
+        re-running the O(n^3) Cholesky the reference pays on every
+        forward (`cigp_v10.py:35`, SURVEY §3.2)."""
+        Sigma = self._sigma(params, x_train, y_var, mask)
+        return linalg.posterior_cache(Sigma, y_train, mask=mask)
+
+    def predict_diag_cached(self, params, cache, x_train, x_test,
+                            mask=None):
+        """`predict_diag` from a precomputed `posterior_cache` — per-call
+        cost is the cross-Gram plus two GEMMs (no factorization)."""
+        K_s = self.kernel.apply(params["kernel"], x_train, x_test)
+        k_ss = self.kernel.diag(params["kernel"], x_test)
+        mean, var = linalg.posterior_diag_cached(cache, K_s, k_ss, mask=mask)
+        return mean, var + self.noise(
+            params, jnp.mean(self.kernel.diag(params["kernel"], x_train))
+        )
+
+    def predict_cached(self, params, cache, x_train, x_test, mask=None):
+        """`predict` (full covariance + noise) from a precomputed cache."""
+        K_s = self.kernel.apply(params["kernel"], x_train, x_test)
+        K_ss = self.kernel.apply(params["kernel"], x_test, x_test)
+        mean, cov = linalg.posterior_cached(cache, K_s, K_ss, mask=mask)
+        d = jnp.diagonal(cov)
+        cov = cov + jnp.diag(jnp.maximum(d, 0.0) - d)
+        cov = cov + self.noise(
+            params, jnp.mean(self.kernel.diag(params["kernel"], x_train))
+        )
+        return mean, cov
+
 
 @dataclasses.dataclass(frozen=True)
 class GPBasic:

@@ -120,9 +120,14 @@ class NAR:
                 x_p = jnp.asarray(x_tr, jnp.float32)
                 y_p = jnp.asarray(y_use, jnp.float32)
                 mask = None
+            # per-stage factorization cached at export (see
+            # models/ar.py:_export_cascade) — calls are GEMM-only
+            cache = self.gp_list[i].posterior_cache(
+                self.params["gp"][i], x_p, y_p, mask=mask
+            )
             stages.append(
                 {
-                    "x": x_p, "y": y_p, "mask": mask,
+                    "x": x_p, "cache": cache, "mask": mask,
                     "gp": self.params["gp"][i],
                     "x_mean": x_mean, "x_std": x_std,
                 }
@@ -160,9 +165,10 @@ class NARPosterior:
                     [xt, mean.reshape(xt.shape[0], -1)], axis=-1
                 )
             predict = (
-                self.gps[i].predict_diag if self.diag else self.gps[i].predict
+                self.gps[i].predict_diag_cached if self.diag
+                else self.gps[i].predict_cached
             )
-            mean, var = predict(st["gp"], st["x"], st["y"], xt,
+            mean, var = predict(st["gp"], st["cache"], st["x"], xt,
                                 mask=st["mask"])
         y_mean, y_std = state["y_norm"]
         return mean * y_std + y_mean, var * y_std**2

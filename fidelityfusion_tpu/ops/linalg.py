@@ -166,6 +166,64 @@ def posterior_diag(
     return mu, var
 
 
+def posterior_cache(Sigma: jnp.ndarray, y: jnp.ndarray,
+                    mask: Optional[jnp.ndarray] = None) -> dict:
+    """Precompute the per-dataset factorization for repeated posterior
+    evaluation: ``{"W": inv(L), "alpha": Sigma^{-1} y}``.
+
+    The reference re-runs the O(n^3) Cholesky of every stage on EVERY
+    prediction call (`AR_autoRegression.py:56-89` via `cigp_v10.py:35` —
+    SURVEY §3.2 flags this), which a BO loop multiplies by hundreds of
+    acquisition evaluations.  Train data is frozen once a posterior is
+    exported, so the factor is computed once here; each later call is
+    GEMM-only (`posterior_diag_cached`): on TPU that also replaces the
+    per-call triangular solve (~13 TFLOP/s on v5e) with a GEMM against W
+    (`ops/blocked.py:tri_inv_gemm` assembly, ~59-155 TFLOP/s).
+    """
+    from fidelityfusion_tpu.ops.blocked import tri_inv_gemm
+
+    if mask is not None:
+        y = y * mask[:, None].astype(y.dtype)
+    L = cholesky(Sigma)
+    W = tri_inv_gemm(L)
+    gamma = jnp.matmul(W, y, precision=jax.lax.Precision.HIGHEST)
+    alpha = jnp.matmul(W.T, gamma, precision=jax.lax.Precision.HIGHEST)
+    return {"W": W, "alpha": alpha, "logdiagL": jnp.log(jnp.diagonal(L))}
+
+
+def posterior_diag_cached(
+    cache: dict,
+    K_s: jnp.ndarray,
+    k_ss_diag: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`posterior_diag` from a precomputed `posterior_cache` — no
+    factorization, GEMM-only: mu = K_s^T alpha, v = W K_s."""
+    if mask is not None:
+        K_s = K_s * mask[:, None].astype(K_s.dtype)
+    mu = jnp.matmul(K_s.T, cache["alpha"],
+                    precision=jax.lax.Precision.HIGHEST)
+    v = jnp.matmul(cache["W"], K_s, precision=jax.lax.Precision.HIGH)
+    var = jnp.maximum(k_ss_diag - jnp.sum(v**2, axis=0), 0.0)
+    return mu, var
+
+
+def posterior_cached(
+    cache: dict,
+    K_s: jnp.ndarray,
+    K_ss: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`posterior` (full test covariance) from a precomputed cache."""
+    if mask is not None:
+        K_s = K_s * mask[:, None].astype(K_s.dtype)
+    mu = jnp.matmul(K_s.T, cache["alpha"],
+                    precision=jax.lax.Precision.HIGHEST)
+    v = jnp.matmul(cache["W"], K_s, precision=jax.lax.Precision.HIGH)
+    cov = K_ss - jnp.matmul(v.T, v, precision=jax.lax.Precision.HIGH)
+    return mu, cov
+
+
 @jax.custom_vjp
 def mvn_nll_fused(Sigma: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """NLML with a hand-written VJP (SURVEY.md §7 hard-part #5).

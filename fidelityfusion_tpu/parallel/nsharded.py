@@ -1,0 +1,275 @@
+"""n-axis sharded NLML: distributed Gram + blocked Cholesky over the mesh.
+
+The one distributed capability the embarrassingly-parallel axes
+(`parallel/mesh.py`: restarts / candidates / prediction rows) do not
+cover is the TRAINING-SET axis itself — the reference's hot path
+(`GaussianProcess/cigp_v10.py:61-68`: Gram -> Cholesky -> solves ->
+logdet) is bounded by one device's HBM and O(n^3) time.  SURVEY §5.7-5.8
+names distributed Gram/Cholesky with psum-reduced NLML as this workload's
+honest "sequence parallelism" analog; this module implements it as a
+`shard_map` program over a 1-D mesh axis:
+
+  * every device owns a contiguous ROW BLOCK of the Gram/Cholesky factor
+    (b = n/P rows) — K_local is built from ``(x_local, x_full)`` so the
+    full n x n Gram is never materialized on any chip;
+  * the factorization is the right-looking blocked Cholesky of
+    `ops/blocked.py` laid out across devices: per panel j the (replicated,
+    cheap) b x b diagonal-block factor/inverse comes from a masked psum,
+    the panel solve is a local GEMM against inv(L_jj), and the trailing
+    Schur update is a local GEMM against the all-gathered panel column;
+  * NLML terms reduce with psum; the closed-form VJP (same math as
+    `ops/blocked.py:_nll_blocked_bwd`: dSigma = 0.5*(d*K^-1 - alpha
+    alpha^T)) computes its row block of K^{-1} via a distributed
+    triangular inverse + psum-contracted W^T W, so backward memory is
+    also O(n^2 / P) per device.
+
+Communication volume per NLML+grad step (f32 words, 1-D axis of P
+devices, b = n/P):
+
+  forward:  P masked psums of b^2 (diag blocks)      = n*b
+            P all-gathers of b^2 panels              = n*b
+            P masked psums of b*d (fwd substitution) = n*d
+  backward: P psums of b*d (bwd substitution)        = n*d
+            P psums of b*n (tri-inverse broadcast)   = n^2
+            P psums of b*n (K^-1 row contraction)    = n^2
+  total  ~= 2*n^2 + 2*n*(b + d)  words  (~33.6 MB at n=2048, d=1, P=8)
+
+i.e. the collectives are O(n^2) while the compute is O(n^3)/P per device
+— the program is compute-bound for n >> P * (words/s) / (flops/s), and
+rides ICI when the axis maps to a physical ring.
+
+This is a CAPABILITY path (train n beyond one chip), not a single-chip
+speed record: on one device the same program pays its collective overhead
+with no parallel win — measured overhead vs the unsharded hybrid path is
+recorded in BASELINE.md ("n-axis sharding").
+
+No reference counterpart exists (SURVEY §2.8: the reference is
+single-process, single-device).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+def _solve_lower(Ljj, B):
+    return jax.scipy.linalg.solve_triangular(Ljj, B, lower=True)
+
+
+def _dist_chol(A_local, axis, nblk, b):
+    """Distributed right-looking blocked Cholesky.
+
+    ``A_local``: this device's (b, n) row block of SPD A.  Returns
+    ``L_local`` (b, n) row block of the lower factor, ``Wd`` (nblk, b, b)
+    replicated per-panel inv(L_jj), ``Ljj`` (nblk, b, b) replicated
+    diagonal factors, and the replicated logdet scalar.
+    """
+    my = lax.axis_index(axis)
+    zero_bb = jnp.zeros((b, b), A_local.dtype)
+    L_local = jnp.zeros_like(A_local)
+    logdet = jnp.zeros((), A_local.dtype)
+    Wd_list, Ljj_list = [], []
+    eye_b = jnp.eye(b, dtype=A_local.dtype)
+    for j in range(nblk):
+        cols = slice(j * b, (j + 1) * b)
+        # panel-j diagonal block lives on device j: masked psum replicates
+        Dj = lax.psum(jnp.where(my == j, A_local[:, cols], zero_bb), axis)
+        Ljj = jnp.linalg.cholesky(Dj)
+        Wjj = _solve_lower(Ljj, eye_b)
+        logdet = logdet + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ljj)))
+        # panel solve: device i > j gets L_ij = A_ij @ inv(L_jj)^T (GEMM)
+        panel = A_local[:, cols] @ Wjj.T
+        panel = jnp.where(my == j, Ljj, jnp.where(my > j, panel, zero_bb))
+        L_local = L_local.at[:, cols].set(panel)
+        # trailing Schur update needs the whole panel column
+        Lcol = lax.all_gather(panel, axis).reshape(nblk * b, b)
+        upd = panel @ Lcol.T  # (b, n)
+        A_local = A_local - jnp.where(my > j, upd, jnp.zeros_like(upd))
+        Wd_list.append(Wjj)
+        Ljj_list.append(Ljj)
+    return L_local, jnp.stack(Wd_list), jnp.stack(Ljj_list), logdet
+
+
+def _dist_forward_solve(L_local, Ljj, y_local, axis, nblk, b):
+    """z = L^{-1} y by blocked forward substitution; returns all z blocks
+    (nblk, b, d), replicated (they are small)."""
+    my = lax.axis_index(axis)
+    acc = y_local
+    zero = jnp.zeros_like(y_local)
+    zs = []
+    for j in range(nblk):
+        accj = lax.psum(jnp.where(my == j, acc, zero), axis)
+        zj = _solve_lower(Ljj[j], accj)
+        zs.append(zj)
+        acc = acc - L_local[:, j * b:(j + 1) * b] @ zj
+    return jnp.stack(zs)
+
+
+def _dist_backward_solve(L_local, Ljj, zs, axis, nblk, b):
+    """alpha = L^{-T} z by blocked backward substitution (reverse order);
+    returns (nblk, b, d) replicated."""
+    my = lax.axis_index(axis)
+    alphas = [None] * nblk
+    alpha_my = jnp.zeros_like(zs[0])
+    zero = jnp.zeros_like(zs[0])
+    for j in reversed(range(nblk)):
+        own = L_local[:, j * b:(j + 1) * b].T @ alpha_my
+        contrib = lax.psum(jnp.where(my > j, own, zero), axis)
+        aj = jax.scipy.linalg.solve_triangular(
+            Ljj[j].T, zs[j] - contrib, lower=False
+        )
+        alphas[j] = aj
+        alpha_my = jnp.where(my == j, aj, alpha_my)
+    return jnp.stack(alphas)
+
+
+def _dist_tri_inv(L_local, Wd, axis, nblk, b):
+    """W = inv(L) row-sharded: device k's row block is finalized at step k
+    from the psum-broadcast previous rows; O(n^2/P) memory per device."""
+    my = lax.axis_index(axis)
+    n = L_local.shape[1]
+    S = jnp.zeros_like(L_local)  # running sum_{j<k} L_kj @ W_j  (b, n)
+    W_local = jnp.zeros_like(L_local)
+    for k in range(nblk):
+        mine = -Wd[k] @ S  # S only has nonzero cols < k*b
+        mine = mine.at[:, k * b:(k + 1) * b].set(Wd[k])
+        W_local = jnp.where(my == k, mine, W_local)
+        Wk = lax.psum(
+            jnp.where(my == k, W_local, jnp.zeros_like(W_local)), axis
+        )
+        S = S + L_local[:, k * b:(k + 1) * b] @ Wk
+    return W_local
+
+
+def _dist_kinv_rows(W_local, axis, nblk, b):
+    """Row block of K^{-1} = W^T W: psum-contract over the sharded row
+    axis of W, one (b, n) target block at a time (O(n^2/P) memory)."""
+    my = lax.axis_index(axis)
+    out = jnp.zeros_like(W_local)
+    for i in range(nblk):
+        Ci = lax.psum(W_local[:, i * b:(i + 1) * b].T @ W_local, axis)
+        out = jnp.where(my == i, Ci, out)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def mvn_nll_rowsharded(Sigma_local, y_local, axis, nblk, b):
+    """PER-DEVICE PARTIAL of the NLML of y ~ N(0, Sigma), with Sigma/y
+    ROW-SHARDED over mesh axis ``axis`` (call INSIDE shard_map).
+
+    The partials sum to `ops/linalg.mvn_nll`'s value; the caller MUST
+    reduce them with a plain sum OUTSIDE the shard_map (out_specs along
+    ``axis``), which guarantees every partial receives the SAME upstream
+    cotangent — the closed-form VJP (`ops/blocked.py:_nll_blocked_bwd`:
+    dSigma = 0.5*(d*K^-1 - alpha alpha^T)) is the gradient of the TOTAL
+    and is exact only under that uniform-cotangent contract.  (Returning
+    a replicated total instead would leave the cotangent scaling to
+    shard_map's unchecked-replication transpose, which divides by P.)
+    """
+    val, _ = _nll_rowsharded_fwd(Sigma_local, y_local, axis, nblk, b)
+    return val
+
+
+def _nll_rowsharded_fwd(Sigma_local, y_local, axis, nblk, b):
+    my = lax.axis_index(axis)
+    d = y_local.shape[1]
+    L_local, Wd, Ljj, _ = _dist_chol(Sigma_local, axis, nblk, b)
+    zs = _dist_forward_solve(L_local, Ljj, y_local, axis, nblk, b)
+    z_my = lax.dynamic_index_in_dim(zs, my, 0, keepdims=False)
+    Ljj_my = lax.dynamic_index_in_dim(Ljj, my, 0, keepdims=False)
+    val = (
+        0.5 * jnp.sum(z_my**2)
+        + d * jnp.sum(jnp.log(jnp.diagonal(Ljj_my)))
+        + 0.5 * b * d * LOG2PI
+    )
+    return val, (L_local, Wd, Ljj, zs)
+
+
+def _nll_rowsharded_bwd(axis, nblk, b, res, g):
+    L_local, Wd, Ljj, zs = res
+    my = lax.axis_index(axis)
+    d = zs.shape[-1]
+    alphas = _dist_backward_solve(L_local, Ljj, zs, axis, nblk, b)
+    W_local = _dist_tri_inv(L_local, Wd, axis, nblk, b)
+    Kinv_rows = _dist_kinv_rows(W_local, axis, nblk, b)
+    alpha_local = lax.dynamic_index_in_dim(alphas, my, 0, keepdims=False)
+    alpha_flat = alphas.reshape(nblk * b, d)
+    dSigma = g * 0.5 * (d * Kinv_rows - alpha_local @ alpha_flat.T)
+    dy = g * alpha_local
+    return dSigma, dy
+
+
+mvn_nll_rowsharded.defvjp(_nll_rowsharded_fwd, _nll_rowsharded_bwd)
+
+
+def cigp_nll_nsharded(gp, params, x, y, mesh: Mesh, axis: str = "n",
+                      y_var: Optional[jnp.ndarray] = None):
+    """CIGP NLML with the TRAINING-SET axis sharded over ``mesh[axis]``.
+
+    Semantically identical to ``gp.nll(params, x, y)`` (same noise floor,
+    jitter policy and value/grad contract — `models/cigp.py:_sigma`), but
+    no device ever holds more than an (n/P, n) slab of the Gram or
+    factor.  ``x``/``y`` may be unsharded host arrays; they are placed
+    row-sharded here.  n must be a multiple of P * 8 (lane-friendly block
+    rows).  Differentiable wrt ``params`` (replicated; shard_map inserts
+    the psum of the per-device cotangents).
+    """
+    n = x.shape[0]
+    nblk = int(mesh.shape[axis])
+    if n % nblk:
+        raise ValueError(f"n={n} not divisible by mesh axis size {nblk}")
+    b = n // nblk
+    y2 = y if y.ndim == 2 else y[:, None]
+    if y_var is not None and y_var.ndim == 1:
+        y_var = y_var[:, None]
+
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    ys = jax.device_put(y2, NamedSharding(mesh, P(axis, None)))
+    yv = (jax.device_put(y_var, NamedSharding(mesh, P(axis, None)))
+          if y_var is not None else None)
+
+    def local(params, x_local, y_local, yv_local):
+        my = lax.axis_index(axis)
+        x_full = lax.all_gather(x_local, axis).reshape(n, x_local.shape[1])
+        K_local = gp.kernel.apply(params["kernel"], x_local, x_full)
+        rows = jnp.arange(b)
+        cols = my * b + rows
+        diag_local = K_local[rows, cols]
+        diag_mean = lax.psum(jnp.sum(diag_local), axis) / n
+        noise = gp.noise(params, diag_mean)
+        jit_val = (gp.jitter * diag_mean if gp.relative_jitter
+                   else jnp.asarray(gp.jitter, K_local.dtype))
+        extra = noise + jit_val
+        if yv_local is not None:
+            extra = extra + yv_local[:, 0]
+        Sigma_local = K_local.at[rows, cols].add(extra)
+        # (1,)-shaped per-device partial; summed OUTSIDE the shard_map so
+        # every partial receives the same cotangent (see
+        # mvn_nll_rowsharded's contract)
+        return mvn_nll_rowsharded(Sigma_local, y_local, axis, nblk, b)[None]
+
+    in_specs = (P(), P(axis, None), P(axis, None),
+                P(axis, None) if yv is not None else P())
+    fn = jax.shard_map(
+        lambda p, a, c, v: local(p, a, c, v if y_var is not None else None),
+        mesh=mesh, in_specs=in_specs, out_specs=P(axis), check_vma=False,
+    )
+    dummy = yv if yv is not None else jnp.zeros((), y2.dtype)
+    return jnp.sum(fn(params, xs, ys, dummy))
+
+
+def make_n_mesh(n_devices: Optional[int] = None, axis: str = "n") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))

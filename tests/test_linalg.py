@@ -412,3 +412,51 @@ def test_cigp_dispatches_se_analytic(rng):
                               jax.tree_util.tree_leaves(g_off)):
         np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_posterior_cache_matches_direct(rng):
+    """`posterior_cache` + cached evaluators must reproduce the direct
+    posterior (the exported-cascade fast path: factor once at export,
+    GEMM-only per call — SURVEY §3.2's reference flaw fixed)."""
+    from fidelityfusion_tpu.ops import linalg
+
+    n, m, d = 96, 17, 2
+    x = rng.random((n, 3)).astype(np.float32)
+    xt = rng.random((m, 3)).astype(np.float32)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * d2).astype(np.float32)
+    Sigma = jnp.asarray(K + 0.05 * np.eye(n, dtype=np.float32))
+    y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    d2s = ((x[:, None, :] - xt[None, :, :]) ** 2).sum(-1)
+    K_s = jnp.asarray(np.exp(-0.5 * d2s), jnp.float32)
+    d2t = ((xt[:, None, :] - xt[None, :, :]) ** 2).sum(-1)
+    K_ss = jnp.asarray(np.exp(-0.5 * d2t), jnp.float32)
+
+    cache = linalg.posterior_cache(Sigma, y)
+    mu_c, var_c = linalg.posterior_diag_cached(cache, K_s, jnp.diagonal(K_ss))
+    mu_d, var_d = linalg.posterior_diag(Sigma, y, K_s, jnp.diagonal(K_ss))
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_d),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_c), np.asarray(var_d),
+                               rtol=1e-3, atol=1e-4)
+
+    mu_f, cov_f = linalg.posterior_cached(cache, K_s, K_ss)
+    mu_g, cov_g = linalg.posterior(Sigma, y, K_s, K_ss)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_g),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cov_f), np.asarray(cov_g),
+                               rtol=1e-3, atol=1e-4)
+
+    # masked (padded) rows contribute nothing, matching the direct path
+    mask = jnp.asarray(np.arange(n) < n - 8)
+    Sigma_m = linalg.assemble_sigma(jnp.asarray(K), jnp.float32(0.05),
+                                    mask=mask)
+    cache_m = linalg.posterior_cache(Sigma_m, y, mask=mask)
+    mu_cm, var_cm = linalg.posterior_diag_cached(
+        cache_m, K_s, jnp.diagonal(K_ss), mask=mask)
+    mu_dm, var_dm = linalg.posterior_diag(
+        Sigma_m, y, K_s, jnp.diagonal(K_ss), mask=mask)
+    np.testing.assert_allclose(np.asarray(mu_cm), np.asarray(mu_dm),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_cm), np.asarray(var_dm),
+                               rtol=1e-3, atol=1e-4)

@@ -1,0 +1,125 @@
+"""n-axis sharded NLML (`parallel/nsharded.py`): distributed Gram +
+blocked Cholesky + psum-reduced NLML over the virtual 8-device mesh.
+
+The verdict-defined done-bar: value AND grads of the sharded path match
+the unsharded path at n=2048 on the 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fidelityfusion_tpu.models.cigp import CIGP
+from fidelityfusion_tpu.ops.kernels import ARDKernel, SquaredExponentialKernel
+from fidelityfusion_tpu.parallel.nsharded import (
+    cigp_nll_nsharded,
+    make_n_mesh,
+)
+
+
+def _fixture(n, d_in, d_out=1, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.random((n, d_in)) * 4, jnp.float32)
+    y = jnp.asarray(
+        np.sin(np.asarray(x).sum(1, keepdims=True))
+        * np.linspace(1.0, 2.0, d_out)[None, :]
+        + 0.1 * rng.standard_normal((n, d_out)),
+        jnp.float32,
+    )
+    return x, y
+
+
+def _grad_rel_err(g1, g2):
+    import jax.tree_util as jtu
+
+    errs = {}
+    for (path, a), (_, b) in zip(
+        jtu.tree_flatten_with_path(g1)[0], jtu.tree_flatten_with_path(g2)[0]
+    ):
+        denom = np.abs(np.asarray(b)).max() + 1e-12
+        errs[jtu.keystr(path)] = float(
+            np.abs(np.asarray(a) - np.asarray(b)).max() / denom
+        )
+    return errs
+
+
+@pytest.mark.parametrize("n,d_in,d_out", [(2048, 2, 1), (512, 3, 2)])
+def test_nsharded_matches_unsharded_value_and_grad(n, d_in, d_out):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    x, y = _fixture(n, d_in, d_out)
+    gp = CIGP(kernel=ARDKernel(), se_analytic_nll=False, hybrid_nll=False)
+    p = gp.init_params(d_in)
+    mesh = make_n_mesh(8)
+
+    v_sh = float(cigp_nll_nsharded(gp, p, x, y, mesh))
+    v_ref = float(gp.nll(p, x, y))
+    assert abs(v_sh - v_ref) < 1e-3 * max(1.0, abs(v_ref)), (v_sh, v_ref)
+
+    g_sh = jax.grad(lambda pp: cigp_nll_nsharded(gp, pp, x, y, mesh))(p)
+    g_ref = jax.grad(lambda pp: gp.nll(pp, x, y))(p)
+    errs = _grad_rel_err(g_sh, g_ref)
+    assert max(errs.values()) < 2e-3, errs
+
+
+def test_nsharded_yvar_and_se_kernel():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    n, d_in = 256, 2
+    x, y = _fixture(n, d_in)
+    rng = np.random.default_rng(1)
+    y_var = jnp.asarray(rng.random((n,)) * 0.05, jnp.float32)
+    gp = CIGP(kernel=SquaredExponentialKernel(), se_analytic_nll=False,
+              hybrid_nll=False)
+    p = gp.init_params(d_in)
+    mesh = make_n_mesh(8)
+    v_sh = float(cigp_nll_nsharded(gp, p, x, y, mesh, y_var=y_var))
+    v_ref = float(gp.nll(p, x, y, y_var=y_var))
+    assert abs(v_sh - v_ref) < 1e-3 * max(1.0, abs(v_ref))
+    g_sh = jax.grad(
+        lambda pp: cigp_nll_nsharded(gp, pp, x, y, mesh, y_var=y_var))(p)
+    g_ref = jax.grad(lambda pp: gp.nll(pp, x, y, y_var=y_var))(p)
+    errs = _grad_rel_err(g_sh, g_ref)
+    assert max(errs.values()) < 2e-3, errs
+
+
+def test_nsharded_rejects_indivisible_n():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    x, y = _fixture(130, 2)
+    gp = CIGP(kernel=ARDKernel())
+    p = gp.init_params(2)
+    with pytest.raises(ValueError, match="not divisible"):
+        cigp_nll_nsharded(gp, p, x, y, make_n_mesh(8))
+
+
+def test_nsharded_trains():
+    """A few Adam steps through the sharded loss reduce the NLML and keep
+    parity with unsharded steps (same trajectory within f32 noise)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import optax
+
+    n, d_in = 256, 2
+    x, y = _fixture(n, d_in, seed=3)
+    gp = CIGP(kernel=ARDKernel(), se_analytic_nll=False, hybrid_nll=False)
+    mesh = make_n_mesh(8)
+
+    def run(loss_fn, steps=8):
+        p = gp.init_params(d_in)
+        opt = optax.adam(5e-2)
+        s = opt.init(p)
+        vals = []
+        vg = jax.value_and_grad(loss_fn)
+        for _ in range(steps):
+            v, g = vg(p)
+            u, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, u)
+            vals.append(float(v))
+        return vals
+
+    vals_sh = run(lambda pp: cigp_nll_nsharded(gp, pp, x, y, mesh))
+    vals_ref = run(lambda pp: gp.nll(pp, x, y))
+    assert vals_sh[-1] < vals_sh[0]
+    np.testing.assert_allclose(vals_sh, vals_ref, rtol=1e-3)
