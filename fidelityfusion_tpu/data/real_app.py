@@ -356,3 +356,83 @@ class DigitsMLPObjective:
         )
 
     Initiate_data = initiate_data
+
+
+class DigitsCNNObjective(DigitsMLPObjective):
+    """Hyperparameter-BO objective on REAL data: validation accuracy of a
+    small CONV net on sklearn's bundled handwritten-digits images after
+    ``10*s`` epochs.
+
+    Mirrors the reference CIFAR-100 CNN objective (`Data_simulation/
+    Real_Application/cnn_cifar10.py:40-117`: conv blocks -> dropout ->
+    dense head, RMSprop, test-accuracy objective, fidelity = epochs,
+    hyperparams (learning_rate, dropout_rate)) at the scale this offline
+    image allows: digits 1797 8x8 images / 10 classes, no downloads.
+    Architecture: two 3x3 conv blocks (8 -> 16 channels, ReLU, 2x2 mean
+    pool after the first) -> dropout -> dense 10 — the `BuildingBlock`
+    stack shape scaled to 8x8 inputs.  x = (dropout in [0, 0.8],
+    log10 lr in [-4, -1]); deterministic (fixed PRNG stream per epoch).
+    """
+
+    def _train_one(self, dropout: float, log10_lr: float, epochs: int,
+                   seed: int = 0) -> float:
+        import optax
+
+        lr = 10.0 ** float(log10_lr)
+        dropout = float(np.clip(dropout, 0.0, 0.95))
+        key = jax.random.PRNGKey(seed + 7)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        c1, c2 = 8, 16
+        params = {
+            "k1": jax.random.normal(k1, (3, 3, 1, c1)) * 0.3,
+            "b1": jnp.zeros((c1,)),
+            "k2": jax.random.normal(k2, (3, 3, c1, c2)) * 0.15,
+            "b2": jnp.zeros((c2,)),
+            "w": jax.random.normal(k3, (4 * 4 * c2, 10))
+            * (1.0 / np.sqrt(4 * 4 * c2)),
+            "b": jnp.zeros((10,)),
+        }
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def logits(p, X, drop_key=None):
+            h = X.reshape(-1, 8, 8, 1)
+            h = jax.nn.relu(conv(h, p["k1"]) + p["b1"])
+            # 2x2 mean pool -> 4x4 spatial
+            h = h.reshape(-1, 4, 2, 4, 2, c1).mean(axis=(2, 4))
+            h = jax.nn.relu(conv(h, p["k2"]) + p["b2"])
+            h = h.reshape(h.shape[0], -1)
+            if drop_key is not None and dropout > 0:
+                keep = jax.random.bernoulli(drop_key, 1.0 - dropout, h.shape)
+                h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+            return h @ p["w"] + p["b"]
+
+        def loss_fn(p, X, y, drop_key):
+            lg = logits(p, X, drop_key)
+            return jnp.mean(-jax.nn.log_softmax(lg)[jnp.arange(len(y)), y])
+
+        # RMSprop matches the reference optimizer (`cnn_cifar10.py:101`)
+        opt = optax.rmsprop(lr)
+
+        @jax.jit
+        def run(p, X, y, Xv, yv):
+            def step(carry, k):
+                p, s = carry
+                g = jax.grad(loss_fn)(p, X, y, k)
+                u, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, u), s), ()
+
+            keys = jax.random.split(k4, epochs)
+            (p_f, _), _ = jax.lax.scan(step, (p, opt.init(p)), keys)
+            acc = jnp.mean(
+                (jnp.argmax(logits(p_f, Xv), axis=1) == yv).astype(
+                    jnp.float32)
+            )
+            return acc
+
+        return float(run(params, self.X_train, self.y_train,
+                         self.X_val, self.y_val))

@@ -216,6 +216,45 @@ class HOGP:
         )
         return loss, (V_new, jnp.maximum(max_res, res))
 
+    def tracking_aux0_adaptive(self, n: int):
+        """Initial aux for `nll_tracked_adaptive`: (V0, max_res, last_res)."""
+        return (jnp.eye(n, dtype=jnp.float32), jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32))
+
+    def nll_tracked_adaptive(
+        self,
+        params,
+        aux,
+        step,
+        x_train,
+        y_train,
+        y_var=None,
+        max_gap: int = 128,
+        res_threshold: float = 0.05,
+        sweeps: int = 1,
+    ):
+        """`nll_tracked` with the RESIDUAL-GATED refresh
+        (`ops/kron.py:tracked_kron_nlml_adaptive`): the full eigh is paid
+        when the previous step's tracking residual exceeded
+        ``res_threshold`` (staleness-driven), bounded by ``max_gap``.
+        UNBATCHED training only — under vmapped restarts the gate's
+        per-trajectory predicate degrades `cond` to `select` (use
+        `nll_tracked`'s static schedule there).
+
+        ``aux = (V_prev, max_res, last_res)`` (`tracking_aux0_adaptive`).
+        """
+        from fidelityfusion_tpu.ops.kron import tracked_kron_nlml_adaptive
+
+        V_prev, max_res, last_res = aux
+        K0, K_modes = self._grams(params, x_train, y_var)
+        loss, V_new, res = tracked_kron_nlml_adaptive(
+            max_gap, res_threshold, sweeps
+        )(
+            tuple([K0] + K_modes), y_train, self.noise(params), V_prev,
+            last_res, step,
+        )
+        return loss, (V_new, jnp.maximum(max_res, res), res)
+
     def predict(
         self,
         params,

@@ -205,6 +205,70 @@ def _tracked_kron_nlml(refresh_every: int = 32, sweeps: int = 1):
     return f
 
 
+def tracked_kron_nlml_adaptive(max_gap: int = 128,
+                               res_threshold: float = 0.05,
+                               sweeps: int = 1):
+    """Canonicalizing shim over `_tracked_kron_nlml_adaptive`."""
+    return _tracked_kron_nlml_adaptive(
+        int(max_gap), float(res_threshold), int(sweeps)
+    )
+
+
+@lru_cache(maxsize=None)
+def _tracked_kron_nlml_adaptive(max_gap: int = 128,
+                                res_threshold: float = 0.05,
+                                sweeps: int = 1):
+    """`tracked_kron_nlml` with the RESIDUAL-GATED refresh
+    (`ops/spectral.py:tracked_eigh_adaptive`): drift, not the calendar,
+    buys the full eigh.  UNBATCHED training only (the gate is
+    per-trajectory; under vmap it degrades to eigh-every-step — use the
+    static schedule there).
+
+    Returns ``f(Ks, y, noise, V0, last_res, step) -> (loss, V_new, res)``.
+    """
+    from fidelityfusion_tpu.ops.spectral import tracked_eigh_adaptive
+
+    @jax.custom_vjp
+    def f(Ks, y, noise, V0, last_res, step):
+        out, _ = f_fwd(Ks, y, noise, V0, last_res, step)
+        return out
+
+    def f_fwd(Ks, y, noise, V0, last_res, step):
+        lam0, V0n, res = tracked_eigh_adaptive(
+            Ks[0], V0, last_res, step, max_gap=max_gap,
+            res_threshold=res_threshold, sweeps=sweeps,
+        )
+        eigvals, eigvecs = [lam0], [V0n]
+        for K in Ks[1:]:
+            lam, V = jnp.linalg.eigh(K)
+            eigvals.append(lam)
+            eigvecs.append(V)
+        eigvals = _clamp_psd(eigvals)
+        A = rank1_tucker(eigvals) + noise
+        T1 = multi_mode_dot(y, [V.T for V in eigvecs])
+        nd = float(jnp.size(y))
+        quad = jnp.sum(T1**2 / A)
+        loss = 0.5 * (nd * jnp.log(2.0 * jnp.pi) + jnp.sum(jnp.log(A)) + quad)
+        loss = loss / nd
+        return (loss, V0n, res), (tuple(eigvals), tuple(eigvecs), A, T1)
+
+    def f_bwd(resids, ts):
+        t_loss, _t_v, _t_res = ts
+        dKs, dy, dnoise = _kron_nlml_bwd(resids, t_loss)
+        _, eigvecs, _, _ = resids
+        return (
+            dKs,
+            dy,
+            dnoise,
+            jnp.zeros_like(eigvecs[0]),
+            jnp.zeros((), eigvecs[0].dtype),
+            jnp.zeros((), eigvecs[0].dtype),
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def rank1_tucker(factors: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Outer product of vectors (eigenvalue tensor assembly).
 

@@ -147,3 +147,40 @@ def tracked_eigh(
     return lax.cond(
         (step % refresh_every) == 0, refresh, track, operand=None
     )
+
+
+def tracked_eigh_adaptive(
+    K: jnp.ndarray,
+    V_prev: jnp.ndarray,
+    last_res: jnp.ndarray,
+    step: jnp.ndarray,
+    max_gap: int = 128,
+    res_threshold: float = 0.05,
+    sweeps: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RESIDUAL-GATED refresh: pay the full eigh when the PREVIOUS step's
+    tracking residual exceeded ``res_threshold`` (one step of staleness in
+    the gate), with ``max_gap`` as a scheduled upper bound and step 0
+    bootstrapping.
+
+    UNBATCHED TRAINING ONLY: the predicate depends on ``last_res``, a
+    per-trajectory value — under vmapped restarts this `cond` would lower
+    to a `select` that pays the batched eigh every step (see module
+    docstring).  The static-schedule `tracked_eigh` remains the vmapped
+    path; the adaptive gate exists for single-trajectory large-n training
+    where drift, not the calendar, should buy refreshes
+    (BASELINE.md "tracked-spectrum schedule frontier").
+    """
+    step = jnp.asarray(step)
+
+    def refresh(_):
+        w, V = jnp.linalg.eigh(K)
+        return w, V, jnp.zeros((), K.dtype)
+
+    def track(_):
+        return jacobi_refine(K, V_prev, sweeps=sweeps)
+
+    pred = jnp.logical_or(
+        (step % max_gap) == 0, last_res > res_threshold
+    )
+    return lax.cond(pred, refresh, track, operand=None)

@@ -72,7 +72,7 @@ def main():
         nll_at = jax.jit(lambda pp: hogp.nll(pp, x, y))
         ne = float(nll_at(ge))
 
-        for refresh in (16, 32, 64):
+        for refresh in (16, 32, 64, 128):
             def mk(L, r=refresh):
                 def fn():
                     def lt(pp, aux, t):
@@ -86,7 +86,8 @@ def main():
 
             # window spans the refresh cycle: steps [L1, L2) include
             # L2/r refreshes, so the estimate is amortized
-            L1, L2 = (2, 34) if refresh == 16 else (2, 66)
+            L1, L2 = {16: (2, 34), 32: (2, 66), 64: (2, 66),
+                      128: (2, 130)}[refresh]
             med, lo, hi = chain(mk, L1, L2)
 
             @jax.jit
@@ -103,6 +104,66 @@ def main():
                   f"[{lo*1e3:.2f},{hi*1e3:.2f}] -> {1/med:.0f} steps/s | "
                   f"parity dnll {nt-ne:+.2e} max_res {float(mres):.4f}",
                   flush=True)
+
+    if "adaptive1024" in stages:
+        # residual-gated refresh (hogp.nll_tracked_adaptive): measure the
+        # amortized step over a 128-step window and report how many
+        # refreshes the gate actually bought + training parity
+        n, shape = 1024, (32, 32, 32)
+        hogp, p0, x, y, opt = setup(n, shape)
+        aux0 = (np.eye(n, dtype=np.float32), np.zeros((), np.float32),
+                np.zeros((), np.float32))
+
+        @jax.jit
+        def train_exact():
+            _, good, _ = adam_scan(lambda pp: hogp.nll(pp, x, y), p0, opt, 48)
+            return good
+
+        ge = train_exact()
+        nll_at = jax.jit(lambda pp: hogp.nll(pp, x, y))
+        ne = float(nll_at(ge))
+
+        for tau in (0.02, 0.05, 0.1):
+            def mk(L, tau=tau):
+                def fn():
+                    def lt(pp, aux, t):
+                        return hogp.nll_tracked_adaptive(
+                            pp, aux, t, x, y, max_gap=128,
+                            res_threshold=tau)
+
+                    _, _, losses, _ = adam_scan_aux(lt, p0, aux0, opt, L)
+                    return jnp.sum(losses) * 1e-6
+
+                return jax.jit(fn)
+
+            med, lo, hi = chain(mk, 2, 130)
+
+            @jax.jit
+            def train_adaptive(tau=tau):
+                def lt(pp, aux, t):
+                    return hogp.nll_tracked_adaptive(
+                        pp, aux, t, x, y, max_gap=128, res_threshold=tau)
+
+                # count refreshes: res == 0 exactly on refresh steps
+                def body(carry, t):
+                    (p, s, aux) = carry
+                    (loss, aux2), g = jax.value_and_grad(
+                        lt, has_aux=True)(p, aux, t)
+                    u, s = opt.update(g, s, p)
+                    return (optax.apply_updates(p, u), s, aux2), aux2[2]
+
+                import optax
+                s0 = opt.init(p0)
+                (pf, _, auxf), res_seq = jax.lax.scan(
+                    body, (p0, s0, aux0), jnp.arange(48, dtype=jnp.float32))
+                return pf, auxf[1], jnp.sum(res_seq == 0.0)
+
+            pf, mres, n_refresh = train_adaptive()
+            nt = float(nll_at(pf))
+            print(f"adaptive tau={tau}: {med*1e3:.2f} ms/step "
+                  f"[{lo*1e3:.2f},{hi*1e3:.2f}] -> {1/med:.0f} steps/s | "
+                  f"refreshes {int(n_refresh)}/48 | parity dnll "
+                  f"{nt-ne:+.2e} max_res {float(mres):.4f}", flush=True)
 
     if "eigh4096" in stages:
         rng = np.random.default_rng(0)

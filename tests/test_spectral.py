@@ -217,6 +217,66 @@ def test_shipping_refresh_schedule_32_step_gaps():
     assert abs(nll_e - nll_t) < 1e-2, (nll_e, nll_t)
 
 
+def test_adaptive_residual_gated_refresh():
+    """`nll_tracked_adaptive` (residual-gated refresh): trains to the
+    exact optimum like the static schedule, keeps the running-max
+    residual at/below the gate threshold class, and with an
+    impossible-to-trip threshold it refreshes only at the max_gap
+    schedule (i.e. it degrades gracefully to the static behavior)."""
+    n, shape = 48, (6, 6)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((n, 1)) * 8, jnp.float32)
+    base = np.sin(np.linspace(0, np.pi, shape[0]))
+    y = jnp.asarray(
+        np.sin(np.asarray(x))[:, :, None] * np.outer(base, base)[None]
+        + 0.05 * rng.standard_normal((n,) + shape),
+        jnp.float32,
+    )
+    hogp = HOGP(kernel=SquaredExponentialKernel(), output_shape=shape)
+    p0 = hogp.init_params(1)
+    opt = optax.adam(5e-2)
+    steps = 70
+
+    _, good_exact, losses_exact = adam_scan(
+        lambda pp: hogp.nll(pp, x, y), p0, opt, steps
+    )
+
+    def loss_adaptive(pp, aux, step):
+        return hogp.nll_tracked_adaptive(
+            pp, aux, step, x, y, max_gap=64, res_threshold=0.05
+        )
+
+    _, good_a, losses_a, (V, max_res, last_res) = adam_scan_aux(
+        loss_adaptive, p0, hogp.tracking_aux0_adaptive(n), opt, steps
+    )
+    # the gate refreshes one step after any residual spike, so the
+    # running max can overshoot the threshold by one step's drift only
+    assert float(max_res) < 0.15, float(max_res)
+    nll_e = float(hogp.nll(good_exact, x, y))
+    nll_a = float(hogp.nll(good_a, x, y))
+    assert abs(nll_e - nll_a) < 1e-2, (nll_e, nll_a)
+
+    # threshold too high to trip -> behaves exactly like the static
+    # max_gap schedule (same V trajectory as refresh_every=max_gap)
+    def loss_static(pp, aux, step):
+        return hogp.nll_tracked(pp, aux, step, x, y, refresh_every=64)
+
+    _, good_s, losses_s, _ = adam_scan_aux(
+        loss_static, p0, hogp.tracking_aux0(n), opt, steps
+    )
+
+    def loss_no_trip(pp, aux, step):
+        return hogp.nll_tracked_adaptive(
+            pp, aux, step, x, y, max_gap=64, res_threshold=1e9
+        )
+
+    _, good_n, losses_n, _ = adam_scan_aux(
+        loss_no_trip, p0, hogp.tracking_aux0_adaptive(n), opt, steps
+    )
+    np.testing.assert_allclose(np.asarray(losses_n), np.asarray(losses_s),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_adam_scan_aux_under_vmap_restarts():
     """The tracked scan must vmap over restarts (per-restart V in aux,
     shared step counter outside it)."""
