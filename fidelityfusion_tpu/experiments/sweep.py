@@ -50,7 +50,8 @@ def _build_model(method, y_low, y_high, subset, input_dim):
     GAR/CIGAR additionally take the per-fidelity output shapes."""
     cls, train_fn = MODEL_REGISTRY[method]
     if method == "CAR":
-        model = cls(2, [ARDKernel() for _ in range(2)], input_dim=input_dim)
+        model = cls(2, [ARDKernel() for _ in range(2)], input_dim=input_dim,
+                    if_nonsubset=not subset)
     elif method in _SHAPED_METHODS:
         shapes = [np.asarray(y_low).shape[1:] or (1,),
                   np.asarray(y_high).shape[1:] or (1,)]

@@ -124,9 +124,19 @@ class ContinuousAutoRegression:
         kernel_list: Sequence[Kernel],
         b_init: float = 1.0,
         input_dim: int = 1,
+        if_nonsubset: bool = False,
     ):
         self.fidelity_num = fidelity_num
         self.input_dim = input_dim
+        # The reference's CAR only ever trains on the fidelity OVERLAP
+        # (`CAR...py:133` via get_overlap_input_data) — with disjoint
+        # designs that training set is EMPTY and it crashes (found by the
+        # round-4 zoo robustness sweep).  if_nonsubset=True uses the
+        # framework's imputation path instead (get_nonsubset_fill_data,
+        # same convention as AR/NAR/ResGP): missing lo-fid y at hi-fid x
+        # are imputed by the trained lower cascade with predictive
+        # variance carried into the residual NLML.
+        self.if_nonsubset = if_nonsubset
         self.gp_list: List[GPBasic] = [GPBasic(kernel=kernel_list[0])]
         for i in range(fidelity_num - 1):
             res_kernel = MCFidelityKernel(
@@ -224,6 +234,22 @@ class _CarResLoss:
         return self.gp.nll(gp_p, sx, res)
 
 
+@dataclasses.dataclass(frozen=True)
+class _CarResVarLoss:
+    """Non-subset residual-stage NLML: imputed targets carry variances
+    (same convention as `models/ar.py:_ResidualVarLoss`), with b getting
+    gradients through mean, variance, and the MC fidelity kernel."""
+
+    gp: GPBasic
+
+    def __call__(self, p, sx, yl_m, yl_v, yh_m, yh_v, shift, scale):
+        rho = jnp.exp(p["b"])
+        res_mean = (yh_m - rho * yl_m - shift) / scale
+        res_var = jnp.abs(yh_v - rho * yl_v) / scale**2
+        gp_p = ContinuousAutoRegression._bind_b(p["gp"], p["b"])
+        return self.gp.nll(gp_p, sx, res_mean, y_var=res_var)
+
+
 def train_CAR(
     model: ContinuousAutoRegression,
     data_manager: MultiFidelityDataManager,
@@ -253,22 +279,45 @@ def train_CAR(
             )
             model.params["gp"][0] = new_p
         else:
-            _, y_low, subset_x, y_high = data_manager.get_overlap_input_data(
-                i_fid - 1, i_fid, normal=True
-            )
-            sx = jnp.asarray(subset_x, jnp.float32)
-            yl = jnp.asarray(y_low, jnp.float32)
-            yh = jnp.asarray(y_high, jnp.float32)
+            if getattr(model, "if_nonsubset", False):
+                subset_x, y_low_p, y_high_p = (
+                    data_manager.get_nonsubset_fill_data(
+                        model, i_fid - 1, i_fid
+                    )
+                )
+                sx = jnp.asarray(subset_x, jnp.float32)
+                yl = jnp.asarray(y_low_p[0], jnp.float32)
+                yl_v = jnp.asarray(y_low_p[1], jnp.float32)
+                yh = jnp.asarray(y_high_p[0], jnp.float32)
+                yh_v = jnp.asarray(y_high_p[1], jnp.float32)
+            else:
+                _, y_low, subset_x, y_high = (
+                    data_manager.get_overlap_input_data(
+                        i_fid - 1, i_fid, normal=True
+                    )
+                )
+                sx = jnp.asarray(subset_x, jnp.float32)
+                yl = jnp.asarray(y_low, jnp.float32)
+                yh = jnp.asarray(y_high, jnp.float32)
+                yl_v = yh_v = None
 
             shift, scale = _residual_norm(yh - jnp.exp(model.params["b"]) * yl)
             model.stage_norm[i_fid] = (shift, scale)
 
             stage_p = {"gp": model.params["gp"][i_fid], "b": model.params["b"]}
+            if yl_v is None:
+                loss_i = _CarResLoss(gp)
+                loss_args_i = (sx, yl, yh, jnp.float32(shift),
+                               jnp.float32(scale))
+            else:
+                loss_i = _CarResVarLoss(gp)
+                loss_args_i = (sx, yl, yl_v, yh, yh_v, jnp.float32(shift),
+                               jnp.float32(scale))
             stage_p, hist = _run_stage(
-                _CarResLoss(gp), stage_p, max_iter, lr_init, n_restarts,
+                loss_i, stage_p, max_iter, lr_init, n_restarts,
                 jax.random.fold_in(key, i_fid),
                 kernel_spec=gp.kernel, x=sx, gp_field="gp",
-                loss_args=(sx, yl, yh, jnp.float32(shift), jnp.float32(scale)),
+                loss_args=loss_args_i,
             )
             model.params["gp"][i_fid] = stage_p["gp"]
             model.params["b"] = stage_p["b"]

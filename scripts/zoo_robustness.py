@@ -38,8 +38,15 @@ from fidelityfusion_tpu.data.zoo import ZOO
 from fidelityfusion_tpu.experiments.load_mfdata import all_fidelity_pairs
 from fidelityfusion_tpu.experiments.sweep import run_single
 
-MODELS = ("AR", "NAR", "ResGP")
+# round 3 ran AR/NAR/ResGP (cells.csv); round 4 adds CAR/GAR/CIGAR
+# (cells_car_gar_cigar.csv) — the remaining N-fidelity models facing the
+# zoo's noise-free/ill-conditioned datasets (VERDICT r3 item 5).  CAR
+# trains its residual on the fidelity overlap in BOTH modes (the
+# reference's only CAR training path, `CAR...py:133`); GAR/CIGAR lift
+# scalar zoo outputs as (1,) tensor shapes.
+MODELS = tuple(os.environ.get("MODELS", "AR,NAR,ResGP").split(","))
 SEEDS = (0, 1)
+OUT_NAME = os.environ.get("OUT", "cells.csv")
 
 
 def main():
@@ -87,7 +94,7 @@ def main():
         print(f"[{di+1}/{len(datasets)}] {dataset}: {done} cells, "
               f"{n_bad} bad, {time.time()-t_start:.0f}s", flush=True)
 
-    path = os.path.join(outdir, "cells.csv")
+    path = os.path.join(outdir, OUT_NAME)
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()

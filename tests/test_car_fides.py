@@ -61,3 +61,41 @@ def test_fides_bounds_change_kernel():
     k_low = fides.kernel(params, x, x, FidelityBounds(0.0, 0.5, 0.0, 0.5))
     k_high = fides.kernel(params, x, x, FidelityBounds(0.0, 2.0, 0.0, 2.0))
     assert not np.allclose(np.asarray(k_low), np.asarray(k_high))
+
+
+def test_car_nonsubset_imputation_path():
+    """CAR with disjoint fidelity designs (zero overlap): the reference's
+    overlap-only training crashes here (`CAR...py:133`); our
+    if_nonsubset=True uses the framework imputation path
+    (get_nonsubset_fill_data) like AR/NAR/ResGP.  Found by the round-4
+    zoo robustness sweep."""
+    import numpy as np
+
+    from fidelityfusion_tpu.models.car import (
+        ContinuousAutoRegression, train_CAR,
+    )
+    from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
+    from fidelityfusion_tpu.ops.kernels import ARDKernel
+
+    rng = np.random.default_rng(0)
+    x_low = np.sort(rng.random((40, 1)).astype(np.float32) * 10, axis=0)
+    x_high = np.sort(rng.random((12, 1)).astype(np.float32) * 10, axis=0)
+    # disjoint by construction: no row of x_high appears in x_low
+    y_low = np.sin(x_low) - 0.2 * rng.random((40, 1)).astype(np.float32)
+    y_high = np.sin(x_high).astype(np.float32)
+    dm = MultiFidelityDataManager([
+        {"raw_fidelity_name": "0", "fidelity_indicator": 0,
+         "X": x_low, "Y": y_low},
+        {"raw_fidelity_name": "1", "fidelity_indicator": 1,
+         "X": x_high, "Y": y_high},
+    ])
+    model = ContinuousAutoRegression(
+        2, [ARDKernel() for _ in range(2)], input_dim=1, if_nonsubset=True)
+    train_CAR(model, dm, max_iter=60, lr_init=1e-2, n_restarts=2)
+    x_test = np.linspace(0, 10, 50, dtype=np.float32).reshape(-1, 1)
+    mean, cov = model.forward(dm, x_test)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.isfinite(np.asarray(cov)))
+    rmse = float(np.sqrt(np.mean((np.asarray(mean).ravel()
+                                  - np.sin(x_test).ravel()) ** 2)))
+    assert rmse < 0.5, rmse
