@@ -279,7 +279,19 @@ def train_CAR(
             )
             model.params["gp"][0] = new_p
         else:
-            if getattr(model, "if_nonsubset", False):
+            use_nonsubset = getattr(model, "if_nonsubset", False)
+            if not use_nonsubset:
+                # the reference trains the residual on the fidelity
+                # OVERLAP only (`CAR...py:131`); with (near-)disjoint
+                # designs that set can be empty — it crashes there
+                # (torch cholesky on a 0x0 Gram).  Fall back to the
+                # imputation path instead of crashing: a 1-row overlap
+                # cannot fit a residual GP either.
+                ov = data_manager.get_overlap_input_data(
+                    i_fid - 1, i_fid, normal=True
+                )
+                use_nonsubset = int(np.shape(ov[2])[0]) < 2
+            if use_nonsubset:
                 subset_x, y_low_p, y_high_p = (
                     data_manager.get_nonsubset_fill_data(
                         model, i_fid - 1, i_fid

@@ -30,16 +30,33 @@ class Normalizer:
     """
 
     def __init__(self, x, y, normal_x_dim: int = 0, normal_y_mode: int = 0):
+        import warnings
+
         x = np.asarray(x, np.float64)
         y = np.asarray(y, np.float64)
-        self.x_mean = x.mean(axis=normal_x_dim)
-        self.x_std = x.std(axis=normal_x_dim, ddof=1)
-        if normal_y_mode == 0:
-            self.y_mean = y.mean()
-            self.y_std = y.std(ddof=1)
-        else:
-            self.y_mean = y.mean(axis=0)
-            self.y_std = y.std(axis=0, ddof=1)
+        with np.errstate(invalid="ignore", divide="ignore"), \
+                warnings.catch_warnings():
+            # single-row fits: ddof=1 emits "Degrees of freedom <= 0" and
+            # produces NaN — _safe_std replaces it with identity scale
+            warnings.simplefilter("ignore", RuntimeWarning)
+            self.x_mean = x.mean(axis=normal_x_dim)
+            self.x_std = self._safe_std(x.std(axis=normal_x_dim, ddof=1))
+            if normal_y_mode == 0:
+                self.y_mean = y.mean()
+                self.y_std = self._safe_std(y.std(ddof=1))
+            else:
+                self.y_mean = y.mean(axis=0)
+                self.y_std = self._safe_std(y.std(axis=0, ddof=1))
+
+    @staticmethod
+    def _safe_std(s):
+        """ddof=1 std is NaN for a single row and 0 for constant columns —
+        either poisons every later (de)normalization (the reference's
+        torch `std()` NaNs the same way, `MF_data.py:30-37`).  Identity
+        scale is the only safe degenerate choice."""
+        s = np.asarray(s, np.float64)
+        fixed = np.where(~np.isfinite(s) | (s < 1e-12), 1.0, s)
+        return fixed if fixed.ndim else float(fixed)
 
     def normalize(self, x, y):
         return self.normalize_x(x), self.normalize_y(y)

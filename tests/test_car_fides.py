@@ -99,3 +99,37 @@ def test_car_nonsubset_imputation_path():
     rmse = float(np.sqrt(np.mean((np.asarray(mean).ravel()
                                   - np.sin(x_test).ravel()) ** 2)))
     assert rmse < 0.5, rmse
+
+
+def test_car_empty_overlap_autofallback():
+    """Default (subset-protocol) CAR must NOT crash when the fidelity
+    overlap is empty or a single row: train_CAR falls back to the
+    imputation path automatically (the reference crashes on its 0x0
+    overlap Gram; our round-4 nonsubset head-to-head hit the same at
+    n=32 where E[|overlap|] = n^2/500 ~ 2)."""
+    import numpy as np
+
+    from fidelityfusion_tpu.models.car import (
+        ContinuousAutoRegression, train_CAR,
+    )
+    from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
+    from fidelityfusion_tpu.ops.kernels import ARDKernel
+
+    rng = np.random.default_rng(3)
+    x_low = np.sort(rng.random((32, 1)).astype(np.float32) * 10, axis=0)
+    x_high = x_low[:1]  # 1-row overlap: cannot fit a residual GP on it
+    y_low = np.sin(x_low) - 0.2 * rng.random((32, 1)).astype(np.float32)
+    y_high = np.sin(x_high).astype(np.float32)
+    dm = MultiFidelityDataManager([
+        {"raw_fidelity_name": "0", "fidelity_indicator": 0,
+         "X": x_low, "Y": y_low},
+        {"raw_fidelity_name": "1", "fidelity_indicator": 1,
+         "X": x_high, "Y": y_high},
+    ])
+    model = ContinuousAutoRegression(
+        2, [ARDKernel() for _ in range(2)], input_dim=1)  # default subset
+    train_CAR(model, dm, max_iter=40, lr_init=1e-2, n_restarts=2)
+    x_test = np.linspace(0, 10, 50, dtype=np.float32).reshape(-1, 1)
+    mean, cov = model.forward(dm, x_test)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.isfinite(np.asarray(cov)))
