@@ -46,9 +46,13 @@ RECORDED = {
                               # cross term — bf16 grams are indefinite)
     "hogp128": 1847.0,        # steps/s, n=128 (32,32) fields (driver r2)
     "hogp1024": 172.17,       # steps/s, n=1024 (32,32,32) fields; SHIPPING
-                              # tracked-spectrum path, amortized over the
-                              # refresh_every=32 schedule (driver r3;
-                              # exact path was 17.7 driver r2)
+                              # tracked-spectrum path (driver r3, then-
+                              # shipping refresh_every=32 schedule; exact
+                              # path was 17.7 driver r2).  Round 4 ships
+                              # refresh_every=64 (measured 209 on-chip,
+                              # scripts/measure_tracking_schedule.py) —
+                              # fallback stays at the last DRIVER capture
+                              # per the round-3 claim policy.
     "eigh1024": 9.67,         # ms, one 1024x1024 symmetric eigh (driver r2;
                               # eigenvectors unused -> XLA DCEs the
                               # accumulation GEMMs; with vectors USED the
@@ -321,12 +325,13 @@ def stage_hogp(n: int, shape):
 
     For n >= 512 this measures the SHIPPING training path: warm-started
     spectral tracking (`models/hogp.py:nll_tracked` via
-    `train/fit.py:adam_scan_aux`, refresh_every=32) — XLA:TPU's serial
-    QDWH eigh is ~48 of the 51 ms exact step at n=1024
+    `train/fit.py:adam_scan_aux`, refresh_every=64 — the round-4
+    schedule, BASELINE.md "tracked-spectrum schedule frontier") —
+    XLA:TPU's serial QDWH eigh is ~48 of the 51 ms exact step at n=1024
     (scripts/profile_hogp.py), and the tracked path replaces it with MXU
     Jacobi sweeps between scheduled refreshes.  The chain window (2, 66)
-    spans refreshes at steps 0, 32 and 64, so the number is AMORTIZED,
-    not best-tracked-step."""
+    spans steps [2, 66) and so includes exactly ONE refresh (step 64) per
+    64 steps — the number is AMORTIZED, not best-tracked-step."""
     _watchdog(420)
     import jax
     import jax.numpy as jnp
@@ -346,7 +351,7 @@ def stage_hogp(n: int, shape):
         def mk(L):
             def fn():
                 def lt(pp, aux, t):
-                    return hogp.nll_tracked(pp, aux, t, x, y, refresh_every=32)
+                    return hogp.nll_tracked(pp, aux, t, x, y, refresh_every=64)
 
                 _, _, losses, _ = adam_scan_aux(lt, p0, aux0, opt, L)
                 return jnp.sum(losses) * 1e-6

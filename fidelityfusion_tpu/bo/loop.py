@@ -215,11 +215,20 @@ def mf_bo_discrete(
                 g = [0.01] * fidelity_num
             else:
                 g = [1.0 / (it + 1)] * fidelity_num
-            # MF-GP-UCB ladder over the functional posteriors
+            # MF-GP-UCB ladder over the functional posteriors.  The gate
+            # compares beta*var against a FIXED gamma (`v1/MF_UCB.py:44`),
+            # which is only meaningful in the surrogate's NORMALIZED-y
+            # space (the reference's posterior_function operates there);
+            # exported posteriors return RAW-space variance, so undo the
+            # y_std^2 scaling the export applied — gating on raw variance
+            # never escalates on targets with O(10) output scales (the
+            # round-4 regression: ours-UCB 9.87 vs reference 12.27).
             new_s = fidelity_num - 1
             for s, (post, state) in enumerate(posts):
                 _, v = post(state, jnp.asarray(new_x, jnp.float32))
-                if beta * float(jnp.max(v)) > g[s]:
+                y_std = float(state["y_norm"][1])
+                v_norm = float(jnp.max(v)) / (y_std * y_std + 1e-12)
+                if beta * v_norm > g[s]:
                     new_s = s
                     break
         else:

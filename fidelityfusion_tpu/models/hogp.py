@@ -191,7 +191,7 @@ class HOGP:
         x_train,
         y_train,
         y_var=None,
-        refresh_every: int = 32,
+        refresh_every: int = 64,
         sweeps: int = 1,
     ):
         """Training-loop NLML with the mode-0 eigendecomposition tracked
@@ -199,6 +199,14 @@ class HOGP:
         serial QDWH eigh is ~48 of the 51 ms hogp1024 step; warm-started
         Jacobi refinement replaces it with MXU GEMMs on all but every
         ``refresh_every``-th step (K-FAC-style amortized decomposition).
+
+        Default 64: the round-4 on-chip schedule sweep (BASELINE.md
+        "tracked-spectrum schedule frontier") measured 64 at the same
+        end-of-training parity class as 32 (|dnll| ~2.6e-4 vs 2.7e-4
+        over 48 steps at n=1024) for +15% throughput (209 vs 181
+        steps/s); 128 adds only +7% more while doubling the stale
+        window.  For unbatched training prefer `nll_tracked_adaptive`
+        (residual-gated: pays refreshes on drift, not the calendar).
 
         ``aux = (V_prev, max_res)`` threads the eigenbasis and the
         running max of the tracking residual through the scan (use

@@ -178,12 +178,13 @@ def test_adam_scan_aux_trains_hogp_to_exact_optimum():
     assert abs(nll_e - nll_t) < 5e-3
 
 
-def test_shipping_refresh_schedule_32_step_gaps():
-    """The SHIPPING staleness schedule (refresh_every=32, the default in
-    `hogp.nll_tracked` and the `gar.py` tracked stages) run for 70 steps —
-    two full 32-step gaps — pinning the threaded running-max residual and
-    the end-of-training NLML delta vs the exact path on CPU, so a drift
-    regression at the real refresh gap fails CI rather than only on-chip."""
+def test_shipping_refresh_schedule_64_step_gaps():
+    """The SHIPPING staleness schedule (refresh_every=64, the round-4
+    default in `hogp.nll_tracked` and the `gar.py` tracked stages) run
+    for 134 steps — two full 64-step gaps — pinning the threaded
+    running-max residual and the end-of-training NLML delta vs the exact
+    path on CPU, so a drift regression at the real refresh gap fails CI
+    rather than only on-chip."""
     n, shape = 48, (6, 6)
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.random((n, 1)) * 8, jnp.float32)
@@ -196,19 +197,19 @@ def test_shipping_refresh_schedule_32_step_gaps():
     hogp = HOGP(kernel=SquaredExponentialKernel(), output_shape=shape)
     p0 = hogp.init_params(1)
     opt = optax.adam(5e-2)
-    steps = 70  # refreshes at 0, 32, 64 -> two full 32-step stale windows
+    steps = 134  # refreshes at 0, 64, 128 -> two full 64-step stale windows
 
     _, good_exact, losses_exact = adam_scan(
         lambda pp: hogp.nll(pp, x, y), p0, opt, steps
     )
 
     def loss_tracked(pp, aux, step):
-        return hogp.nll_tracked(pp, aux, step, x, y, refresh_every=32)
+        return hogp.nll_tracked(pp, aux, step, x, y, refresh_every=64)
 
     _, good_tracked, losses_tracked, (V_fin, max_res) = adam_scan_aux(
         loss_tracked, p0, hogp.tracking_aux0(n), opt, steps
     )
-    # staleness over a 32-step gap stays in the same residual class the
+    # staleness over a 64-step gap stays in the same residual class the
     # refresh=5/8/10 tests pin (drift is O(lr * gap) in the jitter floor)
     assert float(max_res) < 0.30, float(max_res)
     assert abs(float(losses_exact[-1]) - float(losses_tracked[-1])) < 1e-2
