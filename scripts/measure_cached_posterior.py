@@ -19,8 +19,10 @@ Sizes: the reference protocol's loop ends near n=(20,14); the cascade
 win grows as n^3/n^2, so both a protocol-scale and a production-scale
 (n=512/256) fixture are measured.
 
-Run: python scripts/measure_cached_posterior.py [--loop]
-     (JAX_PLATFORMS=cpu for the CPU capture; default = whatever jax picks)
+Run: python scripts/measure_cached_posterior.py [--loop] [--cpu]
+     (--cpu pins the CPU backend — the env's JAX_PLATFORMS=cpu alone does
+     NOT stick here: the axon plugin re-registers itself in
+     jax.config.jax_platforms at import, so only config.update pins it)
 """
 
 import os
@@ -31,7 +33,14 @@ import numpy as np
 
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from fidelityfusion_tpu.models.ar import AR, train_AR
@@ -61,8 +70,9 @@ def make_model(n_low, n_high, seed=0):
         {"raw_fidelity_name": "0", "fidelity_indicator": 0, "X": xl, "Y": yl},
         {"raw_fidelity_name": "1", "fidelity_indicator": 1, "X": xh, "Y": yh},
     ])
-    model = AR(fidelity_num=2, kernel=SquaredExponentialKernel())
-    train_AR(model, dm, max_iter=30, lr=0.01, n_restarts=1)
+    model = AR(2, [SquaredExponentialKernel() for _ in range(2)],
+               input_dim=1)
+    train_AR(model, dm, max_iter=30, lr_init=0.01, n_restarts=1)
     return model, dm
 
 
