@@ -132,9 +132,98 @@ def stage_evals(n_low, n_high, n_cand=256):
           flush=True)
 
 
-def loop_wallclock():
+def stage_evals_chain(n_low, n_high, n_cand=256):
+    """Per-eval cost via the chain-difference method (naive per-call
+    timing over the tunneled chip is latency-dominated — every call above
+    read ~24 ms regardless of n; see utils/profiling.device_time).  A
+    `lax.scan` of L posterior evaluations inside ONE jitted call, with a
+    carry-dependent input perturbation so XLA cannot hoist the loop body;
+    (long - short) / dL isolates the per-evaluation device time."""
+    from jax import lax
+
+    model, dm = make_model(n_low, n_high)
+    post, state = model.export_posterior(dm, diag=True)
+    for i, st in enumerate(state["stages"]):
+        if i == 0:
+            _, y = dm.get_data(0, normal=True)
+        else:
+            y = dm.get_data_by_name(f"res-{i}")[1]
+            y = y[0] if isinstance(y, list) else y
+        st["y"] = jnp.asarray(y, jnp.float32)
+
+    rng = np.random.default_rng(1)
+    xc = np.asarray(rng.random((n_cand, 1)), np.float32)
+    gps = tuple(model.gp_list)
+
+    def mk(call):
+        def mk_L(L):
+            def fn():
+                def body(c, _):
+                    m, v = call(state, xc + 1e-12 * c)
+                    return c + jnp.sum(m) * 1e-9, None
+
+                out, _ = lax.scan(body, jnp.float32(0.0), None, length=L)
+                return out
+
+            return jax.jit(fn)
+
+        # 256-step window: the cached eval is O(us) on-device — a short
+        # window leaves the difference under the tunnel's ~0.1 ms noise
+        f1, f2 = mk_L(2), mk_L(258)
+        jax.block_until_ready(f1()); jax.block_until_ready(f2())
+        diffs = []
+        for _ in range(5):
+            t0 = time.perf_counter(); jax.block_until_ready(f2())
+            t2 = time.perf_counter() - t0
+            t0 = time.perf_counter(); jax.block_until_ready(f1())
+            t1 = time.perf_counter() - t0
+            diffs.append((t2 - t1) / 256)
+        diffs.sort()
+        return diffs[len(diffs) // 2]
+
+    per_c = mk(lambda s, x: post(s, x))
+    per_b = mk(lambda s, x: refactorizing_call(gps, post.to_fidelity, s, x))
+    print(f"chain n=({n_low},{n_high}) x {n_cand} cand | cached "
+          f"{per_c*1e3:.3f} ms/eval-batch ({n_cand/per_c:,.0f} evals/s) | "
+          f"refactorizing {per_b*1e3:.3f} ({n_cand/per_b:,.0f}) | "
+          f"speedup {per_b/per_c:.2f}x", flush=True)
+
+
+def loop_wallclock(ablate=False):
+    """Full-loop wall-clock; --ablate monkeypatches `ARPosterior.__call__`
+    back to the round-3 re-factorizing path (same state, same trajectory —
+    prediction parity is ~5e-5 so every acquisition decision matches),
+    isolating the cache's effect from the round-4 UCB-gate change."""
     from fidelityfusion_tpu.bo.loop import mf_bo_discrete
     from fidelityfusion_tpu.data.objectives import Forrester
+    from fidelityfusion_tpu.models import ar as ar_mod
+
+    if ablate:
+        orig_export = ar_mod._export_cascade
+
+        def export_with_y(model, data_manager, to_fidelity=None, diag=True,
+                          pad_multiple=None):
+            post, state = orig_export(model, data_manager, to_fidelity,
+                                      diag, pad_multiple)
+            level = post.to_fidelity
+            from fidelityfusion_tpu.models.ar import pad_with_mask
+            for i, st in enumerate(state["stages"]):
+                if i == 0:
+                    x_tr, y = data_manager.get_data(0, normal=True)
+                else:
+                    x_tr, y = data_manager.get_data_by_name(f"res-{i}")
+                    y = y[0] if isinstance(y, list) else y
+                if pad_multiple:
+                    _, y, _ = pad_with_mask(x_tr, y, pad_multiple)
+                st["y"] = jnp.asarray(y, jnp.float32)
+            return post, state
+
+        def refact(self, state, x_raw):
+            return refactorizing_call(self.gps, self.to_fidelity, state,
+                                      x_raw)
+
+        ar_mod._export_cascade = export_with_y
+        ar_mod.ARPosterior.__call__ = refact
 
     obj = Forrester(2)
     t0 = time.perf_counter()
@@ -146,14 +235,21 @@ def loop_wallclock():
     mf_bo_discrete(obj, method="UCB", bo_iterations=10, seed=1)
     t2 = time.perf_counter() - t0
     tree = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    print(f"mf_bo_discrete UCB 10 iters [{tree}]: cold {t1:.1f}s, "
+    tag = "ABLATED (refactorizing)" if ablate else "cached"
+    print(f"mf_bo_discrete UCB 10 iters [{tree}] {tag}: cold {t1:.1f}s, "
           f"warm {t2:.1f}s", flush=True)
 
 
 def main():
     print("devices:", jax.devices(), flush=True)
     if "--loop" in sys.argv:
-        loop_wallclock()
+        loop_wallclock(ablate="--ablate" in sys.argv)
+        return
+    if "--chain" in sys.argv:
+        stage_evals_chain(20, 14)    # reference protocol end-of-loop scale
+        stage_evals_chain(128, 64)   # mid
+        stage_evals_chain(512, 256)  # production scale
+        stage_evals_chain(2048, 1024)
         return
     stage_evals(20, 14)     # reference protocol end-of-loop scale
     stage_evals(128, 64)    # mid
