@@ -273,3 +273,27 @@ def make_n_mesh(n_devices: Optional[int] = None, axis: str = "n") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def fit_nsharded(gp, params, x, y, mesh: Mesh, steps: int = 200,
+                 lr: float = 1e-2, axis: str = "n",
+                 y_var: Optional[jnp.ndarray] = None):
+    """One-call n-axis-sharded training: the framework Adam scan
+    (`train/fit.py:adam_scan` — NaN last-good rollback included) over
+    `cigp_nll_nsharded`, so "train n beyond one chip" is a single call:
+
+        mesh = make_n_mesh()
+        params, losses = fit_nsharded(gp, gp.init_params(d), x, y, mesh)
+
+    Returns ``(good_params, losses)`` (the last verified-finite params,
+    per `adam_scan`'s contract).  Same value/grad semantics as
+    ``fit(gp.nll, ...)`` on one device (tests/test_nsharded.py)."""
+    import optax
+
+    from fidelityfusion_tpu.train.fit import adam_scan
+
+    def loss_fn(p):
+        return cigp_nll_nsharded(gp, p, x, y, mesh, axis=axis, y_var=y_var)
+
+    _, good, losses = adam_scan(loss_fn, params, optax.adam(lr), steps)
+    return good, losses

@@ -123,3 +123,30 @@ def test_nsharded_trains():
     vals_ref = run(lambda pp: gp.nll(pp, x, y))
     assert vals_sh[-1] < vals_sh[0]
     np.testing.assert_allclose(vals_sh, vals_ref, rtol=1e-3)
+
+
+def test_fit_nsharded_matches_single_device_fit():
+    """`fit_nsharded` (adam_scan over the sharded NLML on the 8-device
+    mesh) reaches the same loss trajectory as the unsharded fit."""
+    import optax
+
+    from fidelityfusion_tpu.models.cigp import CIGP
+    from fidelityfusion_tpu.ops.kernels import ARDKernel
+    from fidelityfusion_tpu.parallel.nsharded import fit_nsharded, make_n_mesh
+    from fidelityfusion_tpu.train.fit import adam_scan
+
+    n, d_in = 256, 2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((n, d_in)) * 3, jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x).sum(1, keepdims=True)), jnp.float32)
+    gp = CIGP(kernel=ARDKernel(), se_analytic_nll=False, hybrid_nll=False)
+    p0 = gp.init_params(d_in)
+
+    mesh = make_n_mesh(8)
+    good_sh, losses_sh = fit_nsharded(gp, p0, x, y, mesh, steps=20, lr=5e-2)
+    _, good_ref, losses_ref = adam_scan(
+        lambda pp: gp.nll(pp, x, y), p0, optax.adam(5e-2), 20)
+
+    np.testing.assert_allclose(np.asarray(losses_sh),
+                               np.asarray(losses_ref), rtol=2e-3)
+    assert float(losses_sh[-1]) < float(losses_sh[0])
