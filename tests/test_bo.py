@@ -181,3 +181,21 @@ def test_mf_bo_checkpoint_resume(tmp_path):
                           checkpoint_path=ckpt)
     assert len(rec2["S"]) == 4
     assert rec2["incumbents"][:2] == rec1["incumbents"]
+
+
+def test_mf_bo_ucb_gate_escalates_in_normalized_space():
+    """The MF-GP-UCB fidelity gate compares beta*var against the FIXED
+    gamma=0.01 of `v1/MF_UCB.py:44` — meaningful only in the surrogate's
+    normalized-y space.  Forrester's O(10) output scale made the raw-space
+    gate never escalate (every query stuck at fidelity 0, incumbent flat —
+    the round-4 interim regression); this pins that within a short budget
+    the ladder reaches the top fidelity AND the incumbent moves past the
+    initial design's best."""
+    from fidelityfusion_tpu.bo.loop import mf_bo_discrete
+    from fidelityfusion_tpu.data.objectives import Forrester
+
+    rec = mf_bo_discrete(Forrester(2), method="UCB", bo_iterations=5,
+                         init_index={1: 10, 2: 4}, seed=0,
+                         train_iters=30, acq_iterations=10)
+    assert any(int(s) == 1 for s in rec["S"]), rec["S"]
+    assert rec["incumbents"][-1] > rec["incumbents"][0] - 1e-9
