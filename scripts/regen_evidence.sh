@@ -7,6 +7,8 @@
 # Usage: bash scripts/regen_evidence.sh <stream>
 #   stream a: MFBO head-to-heads + GAR field sweeps + figures + grid sweeps
 #   stream b: GAR/CIGAR reference head-to-head + zoo robustness
+#   stream c: (round 4) CAR head-to-head (3 protocols) + CAR/GAR/CIGAR zoo
+#             robustness + CAR/MFBO figures
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p exp_results/logs exp_results/figures
@@ -44,6 +46,13 @@ EOF
 b)
   run ref_gar_headtohead python scripts/ref_gar_headtohead.py
   run zoo_robustness python scripts/zoo_robustness.py
+  ;;
+c)
+  run ref_car_headtohead python scripts/ref_car_headtohead.py
+  MODELS=CAR,GAR,CIGAR OUT=cells_car_gar_cigar.csv \
+    run zoo_robustness_cgc python scripts/zoo_robustness.py
+  run car_summary python scripts/summarize_car.py
+  run mfbo_figures python scripts/plot_mfbo.py
   ;;
 esac
 echo "stream ${1:-a} complete"
