@@ -268,6 +268,79 @@ def cigp_nll_nsharded(gp, params, x, y, mesh: Mesh, axis: str = "n",
     return jnp.sum(fn(params, xs, ys, dummy))
 
 
+def cigp_posterior_nsharded(gp, params, x, y, x_test, mesh: Mesh,
+                            axis: str = "n",
+                            y_var: Optional[jnp.ndarray] = None):
+    """CIGP posterior mean + diagonal variance with the TRAINING-SET axis
+    sharded over ``mesh[axis]`` — the serving half of the n-axis story:
+    a model whose Gram never fits one chip can PREDICT across the mesh
+    too.  Semantically identical to ``gp.predict_diag(params, x, y,
+    x_test)`` (`ops/linalg.py:posterior_diag` + the noise term); x_test
+    is replicated (test rows are the `parallel/mesh.py` axis — compose
+    the two meshes for both).
+
+    Per-call collectives: the blocked Cholesky's O(n*b) psums/gathers,
+    one psum of b*m (forward substitution per panel), and one psum of
+    the (m, d) mean — no O(n^2) term (no gradient path here).
+    """
+    n = x.shape[0]
+    nblk = int(mesh.shape[axis])
+    if n % nblk:
+        raise ValueError(f"n={n} not divisible by mesh axis size {nblk}")
+    b = n // nblk
+    y2 = y if y.ndim == 2 else y[:, None]
+    if y_var is not None and y_var.ndim == 1:
+        y_var = y_var[:, None]
+
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    ys = jax.device_put(y2, NamedSharding(mesh, P(axis, None)))
+    yv = (jax.device_put(y_var, NamedSharding(mesh, P(axis, None)))
+          if y_var is not None else None)
+    xt = jax.device_put(jnp.asarray(x_test, y2.dtype),
+                        NamedSharding(mesh, P(None, None)))
+
+    def local(params, x_local, y_local, xt, yv_local):
+        my = lax.axis_index(axis)
+        x_full = lax.all_gather(x_local, axis).reshape(n, x_local.shape[1])
+        K_local = gp.kernel.apply(params["kernel"], x_local, x_full)
+        rows = jnp.arange(b)
+        cols = my * b + rows
+        diag_local = K_local[rows, cols]
+        diag_mean = lax.psum(jnp.sum(diag_local), axis) / n
+        noise = gp.noise(params, diag_mean)
+        jit_val = (gp.jitter * diag_mean if gp.relative_jitter
+                   else jnp.asarray(gp.jitter, K_local.dtype))
+        extra = noise + jit_val
+        if yv_local is not None:
+            extra = extra + yv_local[:, 0]
+        Sigma_local = K_local.at[rows, cols].add(extra)
+
+        L_local, Wd, Ljj, _ = _dist_chol(Sigma_local, axis, nblk, b)
+        zs_y = _dist_forward_solve(L_local, Ljj, y_local, axis, nblk, b)
+        alphas = _dist_backward_solve(L_local, Ljj, zs_y, axis, nblk, b)
+        alpha_local = lax.dynamic_index_in_dim(alphas, my, 0, keepdims=False)
+
+        K_s_local = gp.kernel.apply(params["kernel"], x_local, xt)  # (b, m)
+        mean = lax.psum(K_s_local.T @ alpha_local, axis)  # (m, d)
+        # v = L^{-1} K_s blockwise; zs_K replicated (nblk, b, m)
+        zs_K = _dist_forward_solve(L_local, Ljj, K_s_local, axis, nblk, b)
+        k_ss = gp.kernel.diag(params["kernel"], xt)
+        explained = jnp.sum(zs_K.reshape(n, xt.shape[0]) ** 2, axis=0)
+        var = jnp.maximum(k_ss - explained, 0.0) + noise
+        return mean, var
+
+    in_specs = (P(), P(axis, None), P(axis, None), P(None, None),
+                P(axis, None) if yv is not None else P())
+    fn = jax.shard_map(
+        lambda p, a, c, t, v: local(p, a, c, t,
+                                    v if y_var is not None else None),
+        mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+        check_vma=False,
+    )
+    dummy = yv if yv is not None else jnp.zeros((), y2.dtype)
+    return fn(params, xs, ys, xt, dummy)
+
+
 def make_n_mesh(n_devices: Optional[int] = None, axis: str = "n") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

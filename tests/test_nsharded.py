@@ -150,3 +150,32 @@ def test_fit_nsharded_matches_single_device_fit():
     np.testing.assert_allclose(np.asarray(losses_sh),
                                np.asarray(losses_ref), rtol=2e-3)
     assert float(losses_sh[-1]) < float(losses_sh[0])
+
+
+def test_posterior_nsharded_matches_predict_diag():
+    """`cigp_posterior_nsharded` (serving half of the n-axis story)
+    matches the single-device `gp.predict_diag` to f32 roundoff on the
+    8-device mesh, including the noise term and y_var handling."""
+    from fidelityfusion_tpu.models.cigp import CIGP
+    from fidelityfusion_tpu.ops.kernels import ARDKernel
+    from fidelityfusion_tpu.parallel.nsharded import (
+        cigp_posterior_nsharded, make_n_mesh,
+    )
+
+    n, d_in, m = 256, 2, 17
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((n, d_in)) * 3, jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x).sum(1, keepdims=True)), jnp.float32)
+    xt = jnp.asarray(rng.random((m, d_in)) * 3, jnp.float32)
+    gp = CIGP(kernel=ARDKernel(), se_analytic_nll=False, hybrid_nll=False)
+    p = gp.init_params(d_in)
+
+    mean_ref, var_ref = gp.predict_diag(p, x, y, xt)
+    for P_ in (1, 2, 8):
+        mesh = make_n_mesh(P_)
+        mean_sh, var_sh = cigp_posterior_nsharded(gp, p, x, y, xt, mesh)
+        np.testing.assert_allclose(np.asarray(mean_sh),
+                                   np.asarray(mean_ref), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(var_sh),
+                                   np.asarray(var_ref),
+                                   rtol=2e-3, atol=2e-5)
