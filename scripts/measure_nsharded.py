@@ -67,6 +67,24 @@ def main():
             print(f"n={n} sharded P={P} NLML+grad: {m*1e3:.2f} ms "
                   f"[{lo*1e3:.2f},{hi*1e3:.2f}]", flush=True)
 
+        # serving path: sharded posterior vs single-device predict_diag
+        from fidelityfusion_tpu.parallel.nsharded import (
+            cigp_posterior_nsharded,
+        )
+
+        xt = jnp.asarray(rng.random((256, d_in)) * 4, jnp.float32)
+        pd = jax.jit(lambda pp: gp.predict_diag(pp, x, y, xt)[0])
+        m, lo, hi = bench(lambda: pd(p))
+        print(f"n={n} unsharded predict_diag(256): {m*1e3:.2f} ms "
+              f"[{lo*1e3:.2f},{hi*1e3:.2f}]", flush=True)
+        for P in {1, len(devs)}:
+            mesh = make_n_mesh(P)
+            ps = jax.jit(lambda pp: cigp_posterior_nsharded(
+                gp, pp, x, y, xt, mesh)[0])
+            m, lo, hi = bench(lambda: ps(p))
+            print(f"n={n} sharded P={P} posterior(256): {m*1e3:.2f} ms "
+                  f"[{lo*1e3:.2f},{hi*1e3:.2f}]", flush=True)
+
 
 if __name__ == "__main__":
     main()
