@@ -5,3 +5,9 @@ from fidelityfusion_tpu.parallel.mesh import (  # noqa: F401
     sharded_fit_restarts,
     sharded_posterior_mean,
 )
+from fidelityfusion_tpu.parallel.nsharded import (  # noqa: F401
+    cigp_nll_nsharded,
+    cigp_posterior_nsharded,
+    fit_nsharded,
+    make_n_mesh,
+)

@@ -11,9 +11,13 @@ cross-Gram + GEMMs only.  Two honest numbers for BASELINE.md:
      (`git show 1e4cbb8:fidelityfusion_tpu/models/ar.py`), evaluated on
      identical state + candidate batches;
   2. full `mf_bo_discrete` wall-clock (reference protocol config:
-     Forrester, UCB, 10 iterations) under the current tree vs a round-3
-     worktree, same seed — pass --loop and optionally BEFORE_TREE=<path>
-     pointing at a checkout of 1e4cbb8.
+     Forrester, UCB, 10 iterations): `--loop` times the shipping loop;
+     `--loop --ablate` monkeypatches `ARPosterior.__call__` back to the
+     re-factorizing path on the SAME trajectory (prediction parity ~5e-5
+     keeps every acquisition decision identical), isolating the cache
+     from the round-4 UCB-gate change.  `--chain` measures per-eval
+     device time by chain-difference (naive per-call timing over the
+     tunnel is latency-dominated).
 
 Sizes: the reference protocol's loop ends near n=(20,14); the cascade
 win grows as n^3/n^2, so both a protocol-scale and a production-scale
