@@ -165,6 +165,49 @@ def main():
                   f"refreshes {int(n_refresh)}/48 | parity dnll "
                   f"{nt-ne:+.2e} max_res {float(mres):.4f}", flush=True)
 
+    if "longrun1024" in stages:
+        # long-horizon drift: does PURE tracking (eigh only at step 0,
+        # Jacobi sweeps forever) hold training parity over 512 steps?
+        # If yes, the n=4096 refresh wall (4.5 s eigh, 57% of a 64-step
+        # cycle) can be dodged entirely on long runs.
+        n, shape = 1024, (32, 32, 32)
+        hogp, p0, x, y, opt = setup(n, shape)
+        aux0 = (np.eye(n, dtype=np.float32), np.zeros((), np.float32))
+        STEPS = 512
+
+        @jax.jit
+        def train_exact():
+            _, good, losses = adam_scan(
+                lambda pp: hogp.nll(pp, x, y), p0, opt, STEPS)
+            return good, losses[-1]
+
+        t0 = time.time()
+        ge, le = train_exact()
+        nll_at = jax.jit(lambda pp: hogp.nll(pp, x, y))
+        ne = float(nll_at(ge))
+        print(f"longrun exact: {STEPS} steps in {time.time()-t0:.0f}s, "
+              f"final NLML {ne:.6f}", flush=True)
+
+        for refresh, sweeps in ((64, 1), (1 << 20, 1), (1 << 20, 2)):
+            @jax.jit
+            def train_tracked(r=refresh, sw=sweeps):
+                def lt(pp, aux, t):
+                    return hogp.nll_tracked(pp, aux, t, x, y,
+                                            refresh_every=r, sweeps=sw)
+
+                _, good, _, (V, mres) = adam_scan_aux(lt, p0, aux0, opt,
+                                                      STEPS)
+                return good, mres
+
+            t0 = time.time()
+            gt, mres = train_tracked()
+            nt = float(nll_at(gt))
+            tag = (f"refresh={refresh}" if refresh < STEPS
+                   else f"PURE sweeps={sweeps}")
+            print(f"longrun {tag}: {STEPS} steps in {time.time()-t0:.0f}s "
+                  f"| parity dnll {nt-ne:+.2e} max_res {float(mres):.4f}",
+                  flush=True)
+
     if "eigh4096" in stages:
         rng = np.random.default_rng(0)
         xs = (rng.random((4096, 1)) * 10).astype(np.float32)
