@@ -51,6 +51,7 @@ c)
   run ref_car_headtohead python scripts/ref_car_headtohead.py
   MODELS=CAR,GAR,CIGAR OUT=cells_car_gar_cigar.csv \
     run zoo_robustness_cgc python scripts/zoo_robustness.py
+  run zoo_joint python scripts/zoo_joint_robustness.py
   run car_summary python scripts/summarize_car.py
   run mfbo_figures python scripts/plot_mfbo.py
   ;;
