@@ -230,6 +230,60 @@ def main():
         print(f"eigh4096 (vectors used, per-call): {sorted(ts)[1]*1e3:.0f} ms "
               f"[{min(ts)*1e3:.0f},{max(ts)*1e3:.0f}]", flush=True)
 
+    if "hogp4096pure" in stages:
+        # PURE tracking at n=4096: sustained step rate (chain window with
+        # no refresh inside) + 128-step agreement between pure tracking
+        # and refresh=64, both scored by the EXACT NLML at the end
+        # (n=1024 longrun pins parity vs exact; this pins that the two
+        # schedules coincide at 4096 too).
+        n, shape = 4096, (16, 16, 16)
+        hogp, p0, x, y, opt = setup(n, shape)
+        aux0 = (np.eye(n, dtype=np.float32), np.zeros((), np.float32))
+        PURE = 1 << 20
+
+        def mk(L):
+            def fn():
+                def lt(pp, aux, t):
+                    # start the scan at step 1: no scheduled refresh ever
+                    # fires inside the window (step-0 eigh paid once in
+                    # both chains)
+                    return hogp.nll_tracked(pp, aux, t + 1.0, x, y,
+                                            refresh_every=PURE)
+
+                _, _, losses, _ = adam_scan_aux(lt, p0, aux0, opt, L)
+                return jnp.sum(losses) * 1e-6
+
+            return jax.jit(fn)
+
+        med, lo, hi = chain(mk, 2, 34)
+        print(f"hogp4096 PURE sustained: {med*1e3:.2f} ms/step "
+              f"[{lo*1e3:.2f},{hi*1e3:.2f}] -> {1/med:.1f} steps/s",
+              flush=True)
+
+        nll_exact = jax.jit(lambda pp: hogp.nll(pp, x, y))
+        finals = {}
+        for refresh in (64, PURE):
+            @jax.jit
+            def train(r=refresh):
+                def lt(pp, aux, t):
+                    return hogp.nll_tracked(pp, aux, t, x, y,
+                                            refresh_every=r)
+
+                _, good, _, (V, mres) = adam_scan_aux(lt, p0, aux0, opt,
+                                                      128)
+                return good, mres
+
+            t0 = time.time()
+            gt, mres = train()
+            nt = float(nll_exact(gt))
+            finals[refresh] = nt
+            tag = "refresh=64" if refresh == 64 else "PURE"
+            print(f"hogp4096 {tag}: 128 steps in {time.time()-t0:.0f}s, "
+                  f"exact NLML {nt:.6f}, max_res {float(mres):.4f}",
+                  flush=True)
+        print(f"hogp4096 schedule agreement dnll "
+              f"{finals[PURE]-finals[64]:+.2e}", flush=True)
+
     if "hogp4096" in stages:
         n, shape = 4096, (16, 16, 16)
         hogp, p0, x, y, opt = setup(n, shape)
