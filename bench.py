@@ -30,34 +30,29 @@ import sys
 import time
 
 # Most recent DRIVER-captured on-chip measurements (TPU v5e, this host;
-# BENCH_r02.json), used as fallback when a stage cannot run.  Policy since
+# BENCH_r04.json), used as fallback when a stage cannot run.  Policy since
 # round 3: fallbacks are synced to the latest driver capture, never to
 # builder-side best-case runs (the round-1/2 claim-drift failure mode).
 RECORDED = {
-    "nlml300": 5365.0,        # steps/s (driver r2)
-    "nlml1024": 1560.0,       # steps/s (driver r2)
-    "nlml4096": 54.4,         # steps/s (driver r2)
-    "nlml1024_fused": 2686.0,  # steps/s (driver r2, se-analytic)
-    "nlml4096_fused": 201.6,   # steps/s (driver r2, se-analytic; 91% of
+    "nlml300": 5388.8,        # steps/s (driver r4)
+    "nlml1024": 1602.3,       # steps/s (driver r4)
+    "nlml4096": 54.5,         # steps/s (driver r4)
+    "nlml1024_fused": 2781.0,  # steps/s (driver r4, se-analytic)
+    "nlml4096_fused": 206.6,   # steps/s (driver r4, se-analytic; 91% of
                                # the measured-primitive bound, BASELINE.md)
-    "restarts": 2782.0,       # aggregate steps/s, R=32 n=1024 (driver r2)
-    "chol4096": 10.4,         # TFLOP/s (driver r2, XLA)
-    "gram4096": 0.19,         # ms (driver r2, XLA ARD gram, full-precision
+    "restarts": 2752.2,       # aggregate steps/s, R=32 n=1024 (driver r4)
+    "chol4096": 11.05,        # TFLOP/s (driver r4, XLA)
+    "gram4096": 0.15,         # ms (driver r4, XLA ARD gram, full-precision
                               # cross term — bf16 grams are indefinite)
-    "hogp128": 1847.0,        # steps/s, n=128 (32,32) fields (driver r2)
-    "hogp1024": 172.17,       # steps/s, n=1024 (32,32,32) fields; SHIPPING
-                              # tracked-spectrum path (driver r3, then-
-                              # shipping refresh_every=32 schedule; exact
-                              # path was 17.7 driver r2).  Round 4 ships
-                              # refresh_every=64 (measured 209 on-chip,
-                              # scripts/measure_tracking_schedule.py) —
-                              # fallback stays at the last DRIVER capture
-                              # per the round-3 claim policy.
-    "eigh1024": 9.67,         # ms, one 1024x1024 symmetric eigh (driver r2;
-                              # eigenvectors unused -> XLA DCEs the
-                              # accumulation GEMMs; with vectors USED the
-                              # same eigh costs ~48 ms, scripts/profile_hogp)
-    "modedot1024": 1.11,      # ms, (1024,32,32,32) mode-dot chain (driver r2)
+    "hogp128": 2141.1,        # steps/s, n=128 (32,32) fields (driver r4)
+    "hogp1024": 203.15,       # steps/s, n=1024 (32,32,32) fields; SHIPPING
+                              # tracked-spectrum path, refresh_every=64
+                              # schedule (driver r4; exact path was 17.7
+                              # driver r2).
+    "eigh1024": 54.75,        # ms, one 1024x1024 symmetric eigh with the
+                              # eigenvectors USED (driver r4; the r2 9.67 ms
+                              # came from a vectors-DCEd variant)
+    "modedot1024": 0.89,      # ms, (1024,32,32,32) mode-dot chain (driver r4)
 }
 REF_STEPS_PER_S_N1024 = 16.1  # torch-CPU measured (BASELINE.md)
 
@@ -612,8 +607,14 @@ def main():
         "eigh1024": "ms", "modedot1024": "ms",
     }
     if not wait_device_ready():
-        log("[probe] device never settled; recorded fallbacks likely")
+        # Advisory only: the r4 driver run had a probe that never settled
+        # while every monolithic stage then ran live — the probe's short
+        # per-try timeout can miss a slow first compile.  The REAL guard
+        # against silent recorded fallbacks is the retry pass below.
+        log("[probe] device never settled; proceeding — fallback stages "
+            "will be retried and reported loudly")
     mono = run_monolithic()
+    fallback_stages = []
     for name in STAGE_ORDER:
         if name in mono:
             results[name] = mono[name]
@@ -621,8 +622,27 @@ def main():
             continue
         val, live = run_stage_subprocess(name)
         results[name] = val
+        if not live:
+            fallback_stages.append(name)
         log(f"[bench] {name}: {val:.2f} {units[name]}"
             + ("" if live else " (RECORDED FALLBACK)"))
+    if fallback_stages:
+        # One more monolithic pass after a cooldown: a wedged tunnel claim
+        # usually clears within minutes; never leave fallbacks silent.
+        log(f"[bench] RETRYING fallback stages after cooldown: "
+            f"{fallback_stages}")
+        time.sleep(120)
+        retry = run_monolithic()
+        still = []
+        for name in fallback_stages:
+            if name in retry:
+                results[name] = retry[name]
+                log(f"[bench] {name}: {retry[name]:.2f} {units[name]} "
+                    f"(retry, live)")
+            else:
+                still.append(name)
+        if still:
+            log(f"[bench] FALLBACK_STAGES (recorded, NOT live): {still}")
 
     ref, ref_live = run_stage_subprocess("ref", timeout=120, retries=0)
     if not ref_live:

@@ -195,7 +195,18 @@ def mf_bo_discrete(
             f_best_j = jnp.float32(f_best)
             best_xs, best_vs = [], []
             for s, (post, state) in enumerate(posts):
-                score_s = MFAcqScore(post, method=method, beta=beta)
+                if method == "UCB":
+                    # score in the export's normalized-y space — the same
+                    # space the fidelity gate below uses (ADVICE r4: a
+                    # raw-space argmax weights var by y_std^2 vs the
+                    # reference's normalized maximization)
+                    score_s = MFAcqScore(
+                        post, method=method, beta=beta,
+                        y_shift=float(state["y_norm"][0]),
+                        y_scale=float(state["y_norm"][1]),
+                    )
+                else:
+                    score_s = MFAcqScore(post, method=method, beta=beta)
                 x_s, v_s = optimize_acqf(
                     score_s,
                     jnp.asarray(bounds, jnp.float32),

@@ -56,13 +56,23 @@ class MFAcqScore:
     method: str = "UCB"
     beta: float = 0.2
     num_fantasies: int = 10
+    # normalized-y space for UCB scoring: exported posteriors return RAW-y
+    # mean/var, but the reference maximizes UCB in its surrogate's
+    # NORMALIZED space (`v1/MF_UCB.py:26-38`) — var scales by y_std^2 while
+    # mean scales by y_std, so the raw-space argmax can diverge on
+    # large-output-scale objectives.  Same space as the fidelity gate
+    # (`bo/loop.py`), keeping argmax and gate consistent.
+    y_shift: float = 0.0
+    y_scale: float = 1.0
 
     def __call__(self, x, state, f_best):
         mean, var = self.posterior(state, x)
         mean = mean.reshape(-1)
         var = var.reshape(-1)
         if self.method == "UCB":
-            return mean + self.beta * var
+            mean_n = (mean - self.y_shift) / self.y_scale
+            var_n = var / (self.y_scale * self.y_scale)
+            return mean_n + self.beta * var_n
         if self.method == "EI":
             return sf_acq.ei(mean, var, f_best)
         if self.method == "PI":

@@ -290,7 +290,12 @@ def train_CAR(
                 ov = data_manager.get_overlap_input_data(
                     i_fid - 1, i_fid, normal=True
                 )
-                use_nonsubset = int(np.shape(ov[2])[0]) < 2
+                # get_overlap_input_data returns (None,)*4 when either
+                # fidelity has no data at all — that is the empty-overlap
+                # case too, so fall back rather than crash on np.shape(None)
+                use_nonsubset = (
+                    ov[2] is None or int(np.shape(ov[2])[0]) < 2
+                )
             if use_nonsubset:
                 subset_x, y_low_p, y_high_p = (
                     data_manager.get_nonsubset_fill_data(

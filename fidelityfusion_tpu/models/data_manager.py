@@ -40,22 +40,42 @@ class Normalizer:
             # produces NaN — _safe_std replaces it with identity scale
             warnings.simplefilter("ignore", RuntimeWarning)
             self.x_mean = x.mean(axis=normal_x_dim)
-            self.x_std = self._safe_std(x.std(axis=normal_x_dim, ddof=1))
+            self.x_std = self._safe_std(
+                x.std(axis=normal_x_dim, ddof=1), self.x_mean
+            )
             if normal_y_mode == 0:
                 self.y_mean = y.mean()
-                self.y_std = self._safe_std(y.std(ddof=1))
+                self.y_std = self._safe_std(y.std(ddof=1), self.y_mean)
             else:
                 self.y_mean = y.mean(axis=0)
-                self.y_std = self._safe_std(y.std(axis=0, ddof=1))
+                self.y_std = self._safe_std(
+                    y.std(axis=0, ddof=1), self.y_mean
+                )
 
     @staticmethod
-    def _safe_std(s):
+    def _safe_std(s, mean=0.0):
         """ddof=1 std is NaN for a single row and 0 for constant columns —
         either poisons every later (de)normalization (the reference's
         torch `std()` NaNs the same way, `MF_data.py:30-37`).  Identity
-        scale is the only safe degenerate choice."""
+        scale is the only safe degenerate choice.  The degeneracy
+        threshold is RELATIVE to the data's own magnitude, so a
+        legitimately tiny-but-nonzero scale (e.g. data in 1e-15 units)
+        still normalizes instead of silently passing through; a warning
+        flags any column the guard actually fires on."""
+        import warnings
+
         s = np.asarray(s, np.float64)
-        fixed = np.where(~np.isfinite(s) | (s < 1e-12), 1.0, s)
+        tiny = s * 0.0 + 1e-12 * np.maximum(
+            1.0, np.abs(np.asarray(mean, np.float64))
+        )
+        bad = ~np.isfinite(s) | (s < tiny)
+        if np.any(bad):
+            warnings.warn(
+                "Normalizer: degenerate std (single row or constant "
+                "column) replaced by identity scale", UserWarning,
+                stacklevel=3,
+            )
+        fixed = np.where(bad, 1.0, s)
         return fixed if fixed.ndim else float(fixed)
 
     def normalize(self, x, y):

@@ -37,7 +37,9 @@ import numpy as np
 
 from fidelityfusion_tpu.models.ar import AR, _residual_norm
 from fidelityfusion_tpu.models.car import ContinuousAutoRegression
+from fidelityfusion_tpu.models.cigar import CIGAR
 from fidelityfusion_tpu.models.cigp import CIGP
+from fidelityfusion_tpu.models.gar import GAR
 from fidelityfusion_tpu.models.nar import NAR
 from fidelityfusion_tpu.models.resgp import ResGP
 from fidelityfusion_tpu.train.fit import fit
@@ -178,7 +180,219 @@ def train_joint(
             data_manager.add_data(f"res-{i}", None, np.asarray(sx), [res, None])
         return result.losses
 
+    if isinstance(model, (GAR, CIGAR)):
+        return _train_joint_tensor(model, data_manager, max_iter, lr_init)
+
     raise TypeError(f"joint training not supported for {type(model).__name__}")
+
+
+# --------------------------------------------------------------------------
+# Joint training for the tensor-output models (GAR / CIGAR)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _JointGarLoss:
+    """Joint NLML over a GAR cascade: per-stage HOGP Kronecker NLMLs with
+    the TensorLinear lifts trained through the joint loss (the legacy
+    8-model `compute_loss` contract covers GAR —
+    `MFGP_ver2023May/GAR_GeneralizedAutoAR.py`, driven jointly by
+    `mfgp_demo.py:118-127`).  Stage arrays are (sx, yl, yh, rv) quads;
+    ``rv`` is the imputed residual variance ((n,) or a row of zeros — a
+    zero diagonal addition is the subset case, so ONE loss spec serves
+    both paths and the compiled program is shared)."""
+
+    hogps: tuple
+    tls: tuple
+    norms: tuple  # per-stage (shift, scale) floats
+
+    def __call__(self, p, x0, y0, *stage_arrays):
+        total = self.hogps[0].nll(p["hogp"][0], x0, y0)
+        for i in range(1, len(self.hogps)):
+            sx, yl, yh, rv = stage_arrays[4 * (i - 1): 4 * i]
+            shift, scale = self.norms[i]
+            res = (yh - self.tls[i - 1].apply(p["tl"][i - 1], yl) - shift) / scale
+            total = total + self.hogps[i].nll(p["hogp"][i], sx, res, y_var=rv)
+        return total
+
+
+@dataclasses.dataclass(frozen=True)
+class _JointCigarLoss:
+    """Joint NLML over a CIGAR cascade (flattened outputs through CIGP,
+    the autokrigeability shortcut — `CIGAR_ConditionalIndependentGAR.py`)."""
+
+    gps: tuple
+    tls: tuple
+    norms: tuple
+
+    def __call__(self, p, x0, y0, *stage_arrays):
+        total = self.gps[0].nll(p["gp"][0], x0, y0)
+        for i in range(1, len(self.gps)):
+            sx, yl, yh, rv = stage_arrays[4 * (i - 1): 4 * i]
+            shift, scale = self.norms[i]
+            tl = self.tls[i - 1]
+            lift = tl.apply(p["tl"][i - 1],
+                            yl.reshape((yl.shape[0],) + tl.l_shape))
+            res = (yh - lift.reshape(lift.shape[0], -1) - shift) / scale
+            total = total + self.gps[i].nll(p["gp"][i], sx, res, y_var=rv)
+        return total
+
+
+def _tensor_stage_arrays_subset(model, dm):
+    """(x0, y0, stage quads) for GAR/CIGAR subset joint training; y kept
+    in tensor form for GAR, flattened for CIGAR."""
+    is_gar = isinstance(model, GAR)
+    x0, y0 = dm.get_data(0, normal=True)
+    x0 = jnp.asarray(x0, jnp.float32)
+    y0 = jnp.asarray(y0, jnp.float32)
+    if not is_gar:
+        y0 = y0.reshape(len(y0), -1)
+    quads = []
+    for i in range(1, model.fidelity_num):
+        _, yl, sx, yh = dm.get_overlap_input_data(i - 1, i, normal=True)
+        sx = jnp.asarray(sx, jnp.float32)
+        yl = jnp.asarray(yl, jnp.float32)
+        yh = jnp.asarray(yh, jnp.float32)
+        if is_gar:
+            yl = yl.reshape((len(sx),) + model.data_shape_list[i - 1])
+            yh = yh.reshape((len(sx),) + model.data_shape_list[i])
+        else:
+            yl = yl.reshape(len(sx), -1)
+            yh = yh.reshape(len(sx), -1)
+        rv = jnp.zeros((len(sx),), jnp.float32)
+        quads.append((sx, yl, yh, rv))
+    return x0, y0, quads
+
+
+def _tensor_lift(model, i, p_tl, yl):
+    if isinstance(model, GAR):
+        return model.tl_list[i - 1].apply(p_tl, yl)
+    return model._apply_tl_flat(i - 1, p_tl, yl)
+
+
+def _register_tensor_stages(model, dm, x0, y0, quads):
+    """Re-register res-i datasets and (for GAR) posterior states from the
+    CURRENT params so `model.forward` reflects the joint fit."""
+    is_gar = isinstance(model, GAR)
+    if is_gar:
+        _, state0 = model.hogp_list[0].nll_with_state(
+            model.params["hogp"][0], x0, y0
+        )
+        model.states[0] = state0
+    for i, (sx, yl, yh, rv) in enumerate(quads, start=1):
+        shift, scale = model.stage_norm[i]
+        p_tl = model.params["tl"][i - 1]
+        res = np.asarray((yh - _tensor_lift(model, i, p_tl, yl) - shift) / scale)
+        dm.data_dict.pop(f"res-{i}", None)
+        dm.add_data(f"res-{i}", None, np.asarray(sx), [res, None])
+        if is_gar:
+            has_var = bool(np.any(np.asarray(rv)))
+            _, st = model.hogp_list[i].nll_with_state(
+                model.params["hogp"][i], sx, jnp.asarray(res, jnp.float32),
+                y_var=rv if has_var else None,
+            )
+            model.states[i] = st
+
+
+def _train_joint_tensor(model, dm, max_iter, lr_init):
+    """Subset-path joint training for GAR/CIGAR: one Adam over every
+    stage's HOGP/CIGP NLML with the TensorLinear lifts co-adapting."""
+    x0, y0, quads = _tensor_stage_arrays_subset(model, dm)
+    # residual standardization fixed from the INITIAL lifts (same policy
+    # as the staged trainers: norms are frozen before the stage trains)
+    for i, (sx, yl, yh, _rv) in enumerate(quads, start=1):
+        model.stage_norm[i] = _residual_norm(
+            yh - _tensor_lift(model, i, model.params["tl"][i - 1], yl)
+        )
+    norms = tuple(
+        (float(s), float(c)) for s, c in model.stage_norm
+    )
+    if isinstance(model, GAR):
+        loss_fn = _JointGarLoss(
+            tuple(model.hogp_list), tuple(model.tl_list), norms
+        )
+    else:
+        loss_fn = _JointCigarLoss(
+            tuple(model.gp_list), tuple(model.tl_list), norms
+        )
+    flat = [a for quad in quads for a in quad]
+    result = fit(loss_fn, model.params, steps=max_iter, lr=lr_init,
+                 loss_args=(x0, y0, *flat))
+    model.params = result.params
+    _register_tensor_stages(model, dm, x0, y0, quads)
+    return result.losses
+
+
+def _train_joint_tensor_nonsubset(model, dm, max_iter, lr_init, rounds):
+    """Non-subset joint GAR/CIGAR via staged imputation (the same
+    round structure as `train_joint_nonsubset`): before each round the
+    missing low-fidelity fields are imputed with the CURRENT cascade —
+    GAR's posterior states are refreshed from current params first, so
+    round 0 imputes with the initialized model exactly like the legacy
+    epoch loop does (`MFGP_ver2023May/AR_AutoRegression.py:180-203`) —
+    then one compiled joint-Adam scan runs on fixed-shape stage arrays."""
+    is_gar = isinstance(model, GAR)
+    steps_per_round = max(1, math.ceil(max_iter / rounds))
+    x0, y0 = dm.get_data(0, normal=True)
+    x0 = jnp.asarray(x0, jnp.float32)
+    y0 = jnp.asarray(y0, jnp.float32)
+    if not is_gar:
+        y0 = y0.reshape(len(y0), -1)
+
+    all_losses = []
+    norms = None
+    for _r in range(rounds):
+        if is_gar:
+            _, state0 = model.hogp_list[0].nll_with_state(
+                model.params["hogp"][0], x0, y0
+            )
+            model.states[0] = state0
+        quads = []
+        for i in range(1, model.fidelity_num):
+            sx, y_low_p, y_high_p = dm.get_nonsubset_fill_data(
+                model, i - 1, i
+            )
+            sx = jnp.asarray(sx, jnp.float32)
+            yl = jnp.asarray(y_low_p[0], jnp.float32)
+            yh = jnp.asarray(y_high_p[0], jnp.float32)
+            if is_gar:
+                yl = yl.reshape((len(sx),) + model.data_shape_list[i - 1])
+                yh = yh.reshape((len(sx),) + model.data_shape_list[i])
+            else:
+                yl = yl.reshape(len(sx), -1)
+                yh = yh.reshape(len(sx), -1)
+            rv = jnp.abs(
+                jnp.asarray(y_high_p[1], jnp.float32)
+                - jnp.asarray(y_low_p[1], jnp.float32)
+            ).reshape(-1)
+            if norms is None:
+                model.stage_norm[i] = _residual_norm(
+                    yh - _tensor_lift(model, i, model.params["tl"][i - 1], yl)
+                )
+            shift, scale = model.stage_norm[i]
+            rv = rv / jnp.float32(scale) ** 2
+            quads.append((sx, yl, yh, rv))
+            # register res-i (and GAR state i) NOW so fidelity i+1's
+            # imputation cascade sees this stage
+            _register_tensor_stages(model, dm, x0, y0, quads)
+        if norms is None:
+            norms = tuple((float(s), float(c)) for s, c in model.stage_norm)
+
+        if is_gar:
+            loss_fn = _JointGarLoss(
+                tuple(model.hogp_list), tuple(model.tl_list), norms
+            )
+        else:
+            loss_fn = _JointCigarLoss(
+                tuple(model.gp_list), tuple(model.tl_list), norms
+            )
+        flat = [a for quad in quads for a in quad]
+        result = fit(loss_fn, model.params, steps=steps_per_round,
+                     lr=lr_init, loss_args=(x0, y0, *flat))
+        model.params = result.params
+        all_losses.append(result.losses)
+        _register_tensor_stages(model, dm, x0, y0, quads)
+    return jnp.concatenate(all_losses)
 
 
 # --------------------------------------------------------------------------
@@ -285,6 +499,10 @@ def train_joint_nonsubset(
         raise TypeError(
             "non-subset joint CAR: use CARLarge (the joint ContinuAR "
             "formulation, models/car.py) instead"
+        )
+    if isinstance(model, (GAR, CIGAR)):
+        return _train_joint_tensor_nonsubset(
+            model, data_manager, max_iter, lr_init, rounds
         )
     if not isinstance(model, (AR, ResGP, NAR)):
         raise TypeError(

@@ -140,7 +140,7 @@ def _kron_nlml_bwd(res, t):
 kron_nlml.defvjp(_kron_nlml_fwd, _kron_nlml_bwd)
 
 
-def tracked_kron_nlml(refresh_every: int = 32, sweeps: int = 1):
+def tracked_kron_nlml(refresh_every: int = 64, sweeps: int = 1):
     """Canonicalizing shim over `_tracked_kron_nlml` so positional and
     keyword invocations of the same (refresh_every, sweeps) config share
     ONE cached callable (lru_cache keys positional vs keyword calls
@@ -149,7 +149,7 @@ def tracked_kron_nlml(refresh_every: int = 32, sweeps: int = 1):
 
 
 @lru_cache(maxsize=None)
-def _tracked_kron_nlml(refresh_every: int = 32, sweeps: int = 1):
+def _tracked_kron_nlml(refresh_every: int = 64, sweeps: int = 1):
     """`kron_nlml` with the LARGE mode's eigendecomposition warm-started
     across training steps (`ops/spectral.py`): inside an Adam scan the
     mode-0 Gram changes by O(lr) per step, so the previous step's

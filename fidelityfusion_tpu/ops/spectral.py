@@ -121,7 +121,7 @@ def tracked_eigh(
     K: jnp.ndarray,
     V_prev: jnp.ndarray,
     step: jnp.ndarray,
-    refresh_every: int = 32,
+    refresh_every: int = 64,
     sweeps: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Eigendecomposition with warm-start tracking and scheduled refresh.
