@@ -50,6 +50,7 @@ def mf_bo_discrete(
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
     init_data=None,
+    beta_floor: float = 0.0,
 ) -> Dict[str, List]:
     """Discrete multi-fidelity BO (`MF_BO_discrete.py:33-152`).
 
@@ -125,7 +126,16 @@ def mf_bo_discrete(
             # demands var > 5 to stay cheap), spending the early budget
             # 10x faster — the measured cost<=700 loss to reference-UCB
             # (11.61 vs 12.27, BASELINE.md).
-            beta = 0.2 * objective.x_dim * math.log(it + 1.1)
+            # ``beta_floor`` (round 5): the reference schedule is ~0 at
+            # t=0 (it even truncates: log(int(1.1)) = 0, `v1/MF_UCB.py:22`)
+            # -> UCB is mean-greedy exactly when the surrogate knows
+            # least, the root cause of the one greedy-stuck seed each
+            # framework shows on the recorded protocol (BASELINE.md).  A
+            # floor keeps an exploration bonus while the log schedule
+            # ramps; measured on both frameworks in
+            # scripts/mfbo_headtohead.py (BETA_FLOOR env).
+            beta = max(0.2 * objective.x_dim * math.log(it + 1.1),
+                       beta_floor)
         if method in ("ES", "cfKG"):
             # v1-strategy methods (`MF_BayesianOptimization/Discrete/v1/
             # {MF_ES,CFKG}.py` semantics) via bo/strategies.py

@@ -169,6 +169,8 @@ def train_AR(
     seed: int = 0,
     debugger=None,
     pad_multiple: Optional[int] = None,
+    n_mesh=None,
+    nshard_min_rows: int = 2048,
 ) -> List[jnp.ndarray]:
     """Sequential per-fidelity training (`AR_autoRegression.py:92-140`).
 
@@ -178,7 +180,19 @@ def train_AR(
     compiled scan; with ``n_restarts > 1`` the stage loop is vmapped over
     jittered initializations and the best final NLML wins.
 
-    Returns the list of per-stage loss histories.
+    ``n_mesh`` (round 5): a `jax.sharding.Mesh` with an ``"n"`` axis
+    (optionally an ``"r"`` restart axis — `parallel/nsharded.py:
+    make_rn_mesh`).  Stages with at least ``nshard_min_rows`` training
+    rows then train through the n-axis-sharded distributed factorization
+    (`parallel/nsharded.py:fit_restarts_nsharded` — the restart ladder
+    rides the r axis, the Gram/Cholesky rows ride the n axis), so one
+    call trains a cascade whose large stages exceed a single chip.
+    Smaller stages keep the single-device path.  Non-subset stages with
+    imputed-variance targets stay unsharded (documented limitation: the
+    variance target depends on rho).
+
+    Returns the list of per-stage loss histories (for n-sharded stages,
+    the per-restart final NLML vector).
     """
     histories = []
     key = jax.random.PRNGKey(seed)
@@ -194,15 +208,24 @@ def train_AR(
                 mask0 = None
 
             stage_params = model.params["gp"][0]
-            # gp.nll is a bound method of a frozen-dataclass spec: stable
-            # jit-cache identity, so BO-loop retrains at the same shape
-            # bucket reuse one compiled program (see train/fit.py)
-            stage_params, hist = _run_stage(
-                _CigpNLL(gp), stage_params, max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
-                kernel_spec=gp.kernel, x=x_low,
-                loss_args=(x_low, y_low, None, mask0),
-            )
+            if (n_mesh is not None and mask0 is None
+                    and x_low.shape[0] >= nshard_min_rows):
+                stage_params, hist = _run_stage_nsharded(
+                    gp, stage_params, x_low, y_low, None, n_mesh,
+                    max_iter, lr_init, n_restarts,
+                    jax.random.fold_in(key, i_fid),
+                )
+            else:
+                # gp.nll is a bound method of a frozen-dataclass spec:
+                # stable jit-cache identity, so BO-loop retrains at the
+                # same shape bucket reuse one compiled program
+                # (see train/fit.py)
+                stage_params, hist = _run_stage(
+                    _CigpNLL(gp), stage_params, max_iter, lr_init,
+                    n_restarts, jax.random.fold_in(key, i_fid),
+                    kernel_spec=gp.kernel, x=x_low,
+                    loss_args=(x_low, y_low, None, mask0),
+                )
             model.params["gp"][0] = stage_params
         else:
             if model.if_nonsubset:
@@ -262,12 +285,23 @@ def train_AR(
                 "gp": model.params["gp"][i_fid],
                 "rho": model.params["rho"][i_fid - 1],
             }
-            stage_params, hist = _run_stage(
-                loss_i, stage_params, max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
-                kernel_spec=gp.kernel, x=sx, gp_field="gp",
-                loss_args=loss_args_i,
-            )
+            if (n_mesh is not None and not model.if_nonsubset
+                    and not pad_multiple
+                    and sx.shape[0] >= nshard_min_rows):
+                shift_i, scale_i = model.stage_norm[i_fid]
+                stage_params, hist = _run_stage_nsharded(
+                    gp, stage_params, sx, None,
+                    (yl, yh, jnp.float32(shift_i), jnp.float32(scale_i)),
+                    n_mesh, max_iter, lr_init, n_restarts,
+                    jax.random.fold_in(key, i_fid), gp_field="gp",
+                )
+            else:
+                stage_params, hist = _run_stage(
+                    loss_i, stage_params, max_iter, lr_init, n_restarts,
+                    jax.random.fold_in(key, i_fid),
+                    kernel_spec=gp.kernel, x=sx, gp_field="gp",
+                    loss_args=loss_args_i,
+                )
             model.params["gp"][i_fid] = stage_params["gp"]
             model.params["rho"][i_fid - 1] = stage_params["rho"]
 
@@ -514,6 +548,34 @@ def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
     best, result = fit_restarts(loss_fn, batch, steps=steps, lr=lr,
                                 loss_args=loss_args, aux0=aux_batch)
     return best, result.losses
+
+
+def _run_stage_nsharded(gp, params, x, y, residual, mesh, steps, lr,
+                        n_restarts, key, gp_field=None):
+    """n-axis-sharded stage runner (round 5): the same deterministic
+    length-scale restart ladder as `_run_stage`, trained through
+    `parallel/nsharded.py:fit_restarts_nsharded` — restarts ride the
+    mesh's ``"r"`` axis when present (and R divides it), the
+    Gram/factorization rows ride ``"n"``.  Returns
+    ``(best_params, per_restart_final_losses)``."""
+    from fidelityfusion_tpu.parallel.nsharded import fit_restarts_nsharded
+
+    n_restarts = max(1, n_restarts)
+    gp_params = params[gp_field] if gp_field else params
+    gp_inits = gp_restart_batch(gp.kernel, gp_params, x, n_restarts, key)
+    if gp_field:
+        inits = [{**params, gp_field: g} for g in gp_inits]
+    else:
+        inits = gp_inits
+    batch = stack_params(inits)
+    r_axis = None
+    if "r" in mesh.axis_names and n_restarts % int(mesh.shape["r"]) == 0:
+        r_axis = "r"
+    best, final = fit_restarts_nsharded(
+        gp, batch, x, y, mesh, steps=steps, lr=lr, r_axis=r_axis,
+        residual=residual,
+    )
+    return best, final
 
 
 def pad_with_mask(x, y, pad_multiple: int):

@@ -66,12 +66,19 @@ _TRACK_N_THRESHOLD = 512
 @dataclasses.dataclass(frozen=True)
 class _Gar0LossTracked:
     """`_Gar0Loss` through the tracked-spectrum NLML (aux-carry
-    signature; see `train/fit.py:adam_scan_aux`)."""
+    signature; see `train/fit.py:adam_scan_aux`).  ``refresh_every``
+    parametrizes the schedule: the default 64 is the shipping static
+    calendar; the two-level adaptive driver
+    (`train/fit.py:fit_restarts_tracked_adaptive`) passes a huge value
+    so the calendar fires only at each segment's step-0."""
 
     hogp: HOGP
+    refresh_every: int = 64
 
     def __call__(self, p, aux, step, x, y):
-        return self.hogp.nll_tracked(p["hogp"], aux, step, x, y)
+        return self.hogp.nll_tracked(
+            p["hogp"], aux, step, x, y, refresh_every=self.refresh_every
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,10 +87,14 @@ class _GarResLossTracked:
 
     hogp: HOGP
     tl: TensorLinear
+    refresh_every: int = 64
 
     def __call__(self, p, aux, step, sx, yl, yh, rv, shift, scale):
         res = (yh - self.tl.apply(p["tl"], yl) - shift) / scale
-        return self.hogp.nll_tracked(p["hogp"], aux, step, sx, res, y_var=rv)
+        return self.hogp.nll_tracked(
+            p["hogp"], aux, step, sx, res, y_var=rv,
+            refresh_every=self.refresh_every,
+        )
 
 
 class GAR:
@@ -177,11 +188,22 @@ def train_GAR(
     n_restarts: int = 4,
     seed: int = 0,
     debugger=None,
+    n_mesh=None,
+    nshard_min_rows: int = 2048,
 ) -> List[jnp.ndarray]:
     """Staged training (`GAR.py:76-126`): stage i >= 1 fits the HOGP on the
     residual ``Y_hi - TL_i(Y_lo)`` with the TensorLinear map trained through
     the HOGP NLML; non-subset variance ``|var_hi - var_lo|`` enters K_0's
-    diagonal."""
+    diagonal.
+
+    ``n_mesh`` (round 5): a mesh with an ``"n"`` axis — stages with at
+    least ``nshard_min_rows`` rows train through the n-axis-sharded
+    tracked-spectrum Kronecker NLML (`parallel/kron_nsharded.py`:
+    distributed mode-products, single-init tracked Adam at the shipping
+    refresh_every=64 schedule; n must divide the axis size).  This is
+    SURVEY §5.7's "sharded Kronecker mode-products for GAR" trainer
+    entry point.  Smaller stages keep the single-device restart path.
+    """
     histories = []
     key = jax.random.PRNGKey(seed)
     for i_fid in range(model.fidelity_num):
@@ -192,15 +214,30 @@ def train_GAR(
             y_low = jnp.asarray(y_low, jnp.float32)
 
             stage_p = {"hogp": model.params["hogp"][0]}
+            nshard = (n_mesh is not None
+                      and x_low.shape[0] >= nshard_min_rows
+                      and x_low.shape[0] % int(n_mesh.shape["n"]) == 0)
             tracked = x_low.shape[0] >= _TRACK_N_THRESHOLD
-            stage_p, hist = _run_stage(
-                _Gar0LossTracked(hogp) if tracked else _Gar0Loss(hogp),
-                stage_p, max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
-                kernel_spec=hogp.kernel, x=x_low, gp_field="hogp",
-                loss_args=(x_low, y_low),
-                aux0=hogp.tracking_aux0(x_low.shape[0]) if tracked else None,
-            )
+            if nshard:
+                from fidelityfusion_tpu.parallel.kron_nsharded import (
+                    fit_hogp_nsharded,
+                )
+
+                good, hist, _aux = fit_hogp_nsharded(
+                    hogp, stage_p["hogp"], x_low, y_low, n_mesh,
+                    steps=max_iter, lr=lr_init, refresh_every=64,
+                )
+                stage_p = {"hogp": good}
+            else:
+                stage_p, hist = _run_stage(
+                    _Gar0LossTracked(hogp) if tracked else _Gar0Loss(hogp),
+                    stage_p, max_iter, lr_init, n_restarts,
+                    jax.random.fold_in(key, i_fid),
+                    kernel_spec=hogp.kernel, x=x_low, gp_field="hogp",
+                    loss_args=(x_low, y_low),
+                    aux0=hogp.tracking_aux0(x_low.shape[0]) if tracked
+                    else None,
+                )
             model.params["hogp"][0] = stage_p["hogp"]
             _, state = hogp.nll_with_state(stage_p["hogp"], x_low, y_low)
             model.states[0] = state
@@ -251,15 +288,38 @@ def train_GAR(
                 "hogp": model.params["hogp"][i_fid],
                 "tl": model.params["tl"][i_fid - 1],
             }
+            nshard = (n_mesh is not None
+                      and sx.shape[0] >= nshard_min_rows
+                      and sx.shape[0] % int(n_mesh.shape["n"]) == 0)
             tracked = sx.shape[0] >= _TRACK_N_THRESHOLD
-            stage_p, hist = _run_stage(
-                _GarResLossTracked(hogp, tl) if tracked else _GarResLoss(hogp, tl),
-                stage_p, max_iter, lr_init,
-                n_restarts, jax.random.fold_in(key, i_fid),
-                kernel_spec=hogp.kernel, x=sx, gp_field="hogp",
-                loss_args=loss_args_i,
-                aux0=hogp.tracking_aux0(sx.shape[0]) if tracked else None,
-            )
+            if nshard:
+                from fidelityfusion_tpu.parallel.kron_nsharded import (
+                    fit_hogp_nsharded,
+                )
+
+                sh_i, sc_i = model.stage_norm[i_fid]
+                yl_s = loss_args_i[1]
+                yh_s = loss_args_i[2]
+                rv_s = loss_args_i[3]
+                if rv_s is not None:
+                    rv_s = jnp.asarray(rv_s, jnp.float32).reshape(-1)
+                stage_p, hist, _aux = fit_hogp_nsharded(
+                    hogp, stage_p, sx, None, n_mesh, steps=max_iter,
+                    lr=lr_init, refresh_every=64, y_var=rv_s,
+                    residual=(tl, yl_s, yh_s, jnp.float32(sh_i),
+                              jnp.float32(sc_i)),
+                )
+            else:
+                stage_p, hist = _run_stage(
+                    _GarResLossTracked(hogp, tl) if tracked
+                    else _GarResLoss(hogp, tl),
+                    stage_p, max_iter, lr_init,
+                    n_restarts, jax.random.fold_in(key, i_fid),
+                    kernel_spec=hogp.kernel, x=sx, gp_field="hogp",
+                    loss_args=loss_args_i,
+                    aux0=hogp.tracking_aux0(sx.shape[0]) if tracked
+                    else None,
+                )
             model.params["hogp"][i_fid] = stage_p["hogp"]
             model.params["tl"][i_fid - 1] = stage_p["tl"]
 

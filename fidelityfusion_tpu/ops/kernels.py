@@ -46,8 +46,11 @@ def sq_dist(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """
     n1 = jnp.sum(x1 * x1, axis=-1)[:, None]
     n2 = jnp.sum(x2 * x2, axis=-1)[None, :]
+    # preferred_element_type follows the INPUT dtype: pinning f32 here
+    # would silently downcast the x64_factor escape-hatch path's f64
+    # Grams back to f32 accuracy (measured: indefinite beyond the nugget)
     cross = jnp.dot(x1, x2.T, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=x1.dtype)
     return jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
 
 

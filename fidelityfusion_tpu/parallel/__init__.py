@@ -9,5 +9,12 @@ from fidelityfusion_tpu.parallel.nsharded import (  # noqa: F401
     cigp_nll_nsharded,
     cigp_posterior_nsharded,
     fit_nsharded,
+    fit_restarts_nsharded,
     make_n_mesh,
+    make_rn_mesh,
+    restarts_nll_nsharded,
+)
+from fidelityfusion_tpu.parallel.kron_nsharded import (  # noqa: F401
+    fit_hogp_nsharded,
+    hogp_nll_tracked_nsharded,
 )

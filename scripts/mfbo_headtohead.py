@@ -171,6 +171,10 @@ def run_reference(acq_name, seed, bo_iterations=10, mf_iters=20, lr=1e-2):
                 posterior_function=posterior, model_cost=data.cost,
                 seed=(seed + 1234 + i, i),
             )
+            bf = float(os.environ.get("BETA_FLOOR", "0"))
+            if bf > 0.0:
+                # same mitigation applied to the reference's own ladder
+                strat.beta = max(strat.beta, bf)
             new_x, new_s = strat.compute_next()
         elif acq_name == "cfKG":
             shadow = ar.AR(
@@ -228,6 +232,7 @@ def run_ours(acq_name, seed, bo_iterations=10):
     rec = mf_bo_discrete(
         obj, method=acq_name, bo_iterations=bo_iterations,
         init_index={1: 10, 2: 4}, seed=seed, init_data=(xs, ys),
+        beta_floor=float(os.environ.get("BETA_FLOOR", "0")),
     )
     # recompute cost with the shared accounting from the recorded queries
     rows = []
@@ -244,15 +249,24 @@ def run_ours(acq_name, seed, bo_iterations=10):
 
 
 def main():
+    sub = "mfbo_headtohead"
+    if float(os.environ.get("BETA_FLOOR", "0")) > 0.0:
+        sub = "mfbo_headtohead/betafloor"
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "exp_results", "mfbo_headtohead")
+        os.path.abspath(__file__))), "exp_results", sub)
     os.makedirs(outdir, exist_ok=True)
     seeds = [int(s) for s in os.environ.get("SEEDS", "0,1,2,3,4").split(",")]
     final = {}
-    for framework, acqs, runner in (
+    only = os.environ.get("ACQS", "")
+    plans = [
         ("reference", ("UCB", "cfKG"), run_reference),
         ("ours", ("UCB", "EI", "ES", "cfKG"), run_ours),
-    ):
+    ]
+    if only:
+        wanted = tuple(only.split(","))
+        plans = [(fw, tuple(a for a in acqs if a in wanted), r)
+                 for fw, acqs, r in plans]
+    for framework, acqs, runner in plans:
         for acq in acqs:
             for seed in seeds:
                 try:

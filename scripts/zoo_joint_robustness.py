@@ -8,8 +8,9 @@ nonsubset mode; `MFGP_ver2023May/AR_AutoRegression.py:180-203`) is the
 one trainer family no sweep has faced, and it shares none of the staged
 path's restart ladders or per-stage rollback.  Same cell structure:
 
-    all zoo fidelity pairs x {AR, NAR, ResGP, CAR}
-      x seed 0 x {subset, nonsubset}
+    all zoo fidelity pairs x {AR, NAR, ResGP, CAR (+ GAR/CIGAR via
+    MODELS=GAR,CIGAR — the round-5 tensor-model joint path, written to
+    cells_joint_gar_cigar.csv)} x seed 0 x {subset, nonsubset}
 
 reduced budgets (n_low=48, n_high=16, 60 iters).  Writes
 exp_results/zoo_robustness/cells_joint.csv; exit 1 on any non-finite.
@@ -99,7 +100,10 @@ def main():
                 rows.append(cell)
         print(f"[{di+1}/{len(datasets)}] {dataset}: {len(rows)} cells, "
               f"{n_bad} bad, {time.time()-t_start:.0f}s", flush=True)
-    path = os.path.join(outdir, "cells_joint.csv")
+    suffix = ""
+    if os.environ.get("MODELS"):
+        suffix = "_" + "_".join(m.lower() for m in MODELS)
+    path = os.path.join(outdir, f"cells_joint{suffix}.csv")
     keys = ["dataset", "method", "seed", "subset", "rmse", "nrmse", "r2",
             "nll", "finite", "error"]
     with open(path, "w", newline="") as f:

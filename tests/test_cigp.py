@@ -107,3 +107,82 @@ def test_fit_restarts_picks_best():
     finals = np.asarray(result.losses[:, -1])
     best_nll = float(gp.nll(best, x, y))
     np.testing.assert_allclose(best_nll, np.nanmin(finals), rtol=1e-3)
+
+
+def test_x64_factor_escape_hatch():
+    """The high-precision path (round 5): the BASELINE NaN case (SE Gram,
+    noise 1e-4 — cond ~1.3e6 scaled down to n=256 here) NaNs every f32
+    path AND the shipped f32 torch reference (_LinAlgError — measured in
+    scripts/conditioning_study.py), while CIGP(x64_factor=True) matches
+    the f64 closed form and trains finite."""
+    import scipy.linalg as sla
+
+    from fidelityfusion_tpu.ops.kernels import SquaredExponentialKernel
+
+    rng = np.random.default_rng(0)
+    n = 256
+    x = (rng.random((n, 1)) * 20).astype(np.float32)
+    y = np.sin(x).astype(np.float32)
+    noise = 1e-5  # cond ~ 4e6 at n=256: beyond f32
+
+    # f64 ground truth
+    x64 = x.astype(np.float64)
+    K = np.exp(-0.5 * (x64 - x64.T) ** 2)
+    Sigma = K + noise * np.eye(n)
+    L = np.linalg.cholesky(Sigma)
+    alpha = sla.cho_solve((L, True), y.astype(np.float64))
+    nll_ref = float(
+        0.5 * (y.astype(np.float64) * alpha).sum()
+        + np.log(np.diag(L)).sum()
+        + 0.5 * n * np.log(2 * np.pi)
+    )
+
+    def params(gp):
+        p = gp.init_params(1)
+        p["kernel"] = {
+            "length_scale": jnp.zeros((1,), jnp.float32),
+            "signal_variance": jnp.zeros((1,), jnp.float32),
+        }
+        p["log_beta"] = jnp.asarray([-np.log(noise)], jnp.float32)
+        return p
+
+    gp32 = CIGP(kernel=SquaredExponentialKernel(), jitter=0.0,
+                min_noise=0.0, se_analytic_nll=False, hybrid_nll=False)
+    v32 = float(gp32.nll(params(gp32), jnp.asarray(x), jnp.asarray(y)))
+    assert not np.isfinite(v32), "fixture no longer ill-conditioned"
+
+    gp64 = CIGP(kernel=SquaredExponentialKernel(), jitter=0.0,
+                min_noise=0.0, x64_factor=True)
+    p = params(gp64)
+    v64, g = jax.value_and_grad(
+        lambda pp: gp64.nll(pp, jnp.asarray(x), jnp.asarray(y))
+    )(p)
+    assert abs(float(v64) - nll_ref) < 1e-2 * abs(nll_ref), (
+        float(v64), nll_ref,
+    )
+    assert all(
+        np.all(np.isfinite(np.asarray(leaf)))
+        for leaf in jax.tree_util.tree_leaves(g)
+    )
+
+    # trains finite through the scan (the custom-VJP x64 island must
+    # survive jit/scan transposition — the enable_x64-scope bug class)
+    import optax
+
+    from fidelityfusion_tpu.train.fit import adam_scan
+
+    _, good, losses = adam_scan(
+        lambda pp: gp64.nll(pp, jnp.asarray(x), jnp.asarray(y)),
+        p, optax.adam(1e-2), 10,
+    )
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses)) and losses[-1] <= losses[0]
+
+    # x64 posterior agrees with the f64 closed form
+    xt = np.linspace(0, 20, 16).reshape(-1, 1).astype(np.float32)
+    m64, var64 = gp64.predict_diag(p, jnp.asarray(x), jnp.asarray(y),
+                                   jnp.asarray(xt))
+    Ks = np.exp(-0.5 * (x64 - xt.astype(np.float64).T) ** 2)
+    m_ref = Ks.T @ alpha
+    np.testing.assert_allclose(np.asarray(m64), m_ref, atol=1e-3)
+    assert np.all(np.asarray(var64) > 0)
