@@ -147,6 +147,9 @@ def blocked_chol_inv(
         raise ValueError(f"n={n} not a multiple of block={block}")
     if leaf == "v2":
         return blocked_chol_inv_v2(A, block=block, precision=precision)
+    if leaf == "v2f":
+        return blocked_chol_inv_v2(A, block=block, precision=precision,
+                                   leaf="fused")
     if leaf == "hybrid":
         L = jnp.linalg.cholesky(A)
         nb = n // block
@@ -184,9 +187,10 @@ def blocked_cholesky(A: jnp.ndarray, block: int = 64) -> jnp.ndarray:
     return blocked_chol_inv(A, block=block)[0]
 
 
-@partial(jax.jit, static_argnames=("block", "precision"))
+@partial(jax.jit, static_argnames=("block", "precision", "leaf"))
 def blocked_chol_inv_v2(
     A: jnp.ndarray, block: int = 128, precision: str = "high",
+    leaf: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """COPY-MINIMIZED blocked (L, W = inv(L)) — round 5 (VERDICT r4
     weak #3).
@@ -217,10 +221,17 @@ def blocked_chol_inv_v2(
     cols = []
     diag_invs: List[jnp.ndarray] = []
     trail = A
+    leaf_fn = _leaf_chol_inv if leaf == "fused" else None
     for k in range(nb):
         D = trail[:block, :block]
-        Ld = jnp.linalg.cholesky(D)
-        Wd = jax.scipy.linalg.solve_triangular(Ld, eye, lower=True)
+        if leaf_fn is not None:
+            # fused rank-1 sweep: every step batches over vmapped
+            # restarts (XLA's batched small cholesky serializes — the
+            # measured wall of the restart step, BASELINE.md r5)
+            Ld, Wd = leaf_fn(D)
+        else:
+            Ld = jnp.linalg.cholesky(D)
+            Wd = jax.scipy.linalg.solve_triangular(Ld, eye, lower=True)
         diag_invs.append(Wd)
         if trail.shape[0] > block:
             A21 = trail[block:, :block]
@@ -419,10 +430,15 @@ def mvn_nll_blocked(
     Sigma: jnp.ndarray,
     y: jnp.ndarray,
     block: int = 0,
-    leaf: str = "xla",
+    leaf: str = "v2",
     mask=None,
 ) -> jnp.ndarray:
     """NLML of y ~ N(0, Sigma), GEMM-only under vmap (see module docstring).
+
+    Default ``leaf="v2"`` (round 5): the copy-minimized factorization
+    (`blocked_chol_inv_v2`) — measured 10.88 ms vs 11.7-11.8 for the v1
+    layout at the R=32 n=1024 restart step (2942 vs ~2720 agg steps/s;
+    BASELINE.md "Round 5: batched-restart speed of light").
 
     Same value/gradient contract as `linalg.mvn_nll_fused`; pads Sigma
     with identity rows (zero targets) to a block multiple, which changes

@@ -106,7 +106,7 @@ def main():
 
     med, lo, hi = chain(scan_of(full_body), 6, 30)
     print(f"full: {med*1e3:.2f} ms [{lo*1e3:.2f},{hi*1e3:.2f}] "
-          f"-> {R/med:.0f} agg steps/s")
+          f"-> {R/med:.0f} agg steps/s", flush=True)
 
     # ---- batched Gram only -------------------------------------------
     def gram_body(c):
@@ -163,40 +163,75 @@ def main():
 
     for name, prec in (("default", jax.lax.Precision.DEFAULT),
                        ("high", jax.lax.Precision.HIGH)):
-        def gemm_body(c, prec=prec):
-            a, b = c
-            out = jnp.matmul(a, b, precision=prec)
-            return (a, b), jnp.sum(out[:, 0, 0])
-
-        def mk(L, body=gemm_body):
-            def fn():
+        def mk(L, prec=prec):
+            # big operands must be jit ARGUMENTS (closure constants
+            # overflow the tunnel's remote-compile request at 128 MB),
+            # and the product must FEED THE CARRY: with only
+            # out[:, 0, 0] consumed, XLA narrows the matmul to a
+            # single column (first attempt read an impossible
+            # 1980 TFLOP/s)
+            @jax.jit
+            def run(a, b):
                 def step(c, _):
-                    return body(c)
-                _, outs = jax.lax.scan(step, (A, B), None, length=L)
+                    ca, cb = c
+                    out = jnp.matmul(ca, cb, precision=prec)
+                    return (ca, cb + 1e-3 * out), jnp.sum(out[:, 0, 0])
+                _, outs = jax.lax.scan(step, (a, b), None, length=L)
                 return jnp.sum(outs) * 1e-6
-            return jax.jit(fn)
+            return lambda: run(A, B)
 
         med_m, lo, hi = chain(mk, 4, 16)
         tf = R * 2 * n**3 / med_m / 1e12
-        print(f"gemm_{name}: {med_m*1e3:.3f} ms -> {tf:.1f} TFLOP/s")
+        print(f"gemm_{name}: {med_m*1e3:.3f} ms -> {tf:.1f} TFLOP/s",
+              flush=True)
 
     # ---- batched leaf cholesky ---------------------------------------
     Dl = jnp.asarray(
         rng.standard_normal((R * 8, 128, 128)).astype(np.float32))
     Dl = jnp.matmul(Dl, jnp.swapaxes(Dl, -1, -2)) + 128 * jnp.eye(128)
 
-    def mk_leaf(L):
-        def fn():
-            def step(c, _):
-                Lc = jnp.linalg.cholesky(c)
-                return c + 0.0 * Lc, jnp.sum(Lc[:, 0, 0])
-            _, outs = jax.lax.scan(step, Dl, None, length=L)
-            return jnp.sum(outs) * 1e-6
-        return jax.jit(fn)
+    def mk_leaf_shape(Dmat):
+        def mk(L):
+            @jax.jit
+            def run(d):
+                def step(c, _):
+                    Lc = jnp.linalg.cholesky(c)
+                    # feed the factor back (SPD reconstruction) so the
+                    # scan body can neither DCE nor hoist the cholesky
+                    return jnp.matmul(Lc, jnp.swapaxes(Lc, -1, -2)), \
+                        jnp.sum(Lc[:, 0, 0])
+                _, outs = jax.lax.scan(step, d, None, length=L)
+                return jnp.sum(outs) * 1e-6
+            return lambda: run(Dmat)
+        return mk
 
-    med_l, lo, hi = chain(mk_leaf, 6, 30)
+    med_l, lo, hi = chain(mk_leaf_shape(Dl), 6, 30)
     print(f"leaf chol (256,128,128): {med_l*1e3:.3f} ms "
-          f"[{lo*1e3:.3f},{hi*1e3:.3f}]")
+          f"[{lo*1e3:.3f},{hi*1e3:.3f}]", flush=True)
+    med_l32, lo, hi = chain(mk_leaf_shape(Dl[:32]), 6, 30)
+    print(f"leaf chol (32,128,128): {med_l32*1e3:.3f} ms "
+          f"[{lo*1e3:.3f},{hi*1e3:.3f}] (x8 sequential = "
+          f"{8*med_l32*1e3:.2f} ms in the production factorization)",
+          flush=True)
+
+    # fused-leaf batched rank-1 sweep at the same shape
+    from fidelityfusion_tpu.ops.blocked import _leaf_chol_inv
+
+    def mk_fused(L):
+        @jax.jit
+        def run(d):
+            def step(c, _):
+                Lc, Wc = jax.vmap(_leaf_chol_inv)(c)
+                return jnp.matmul(Lc, jnp.swapaxes(Lc, -1, -2)), \
+                    jnp.sum(Lc[:, 0, 0]) + jnp.sum(Wc[:, 0, 0])
+            _, outs = jax.lax.scan(step, d, None, length=L)
+            return jnp.sum(outs) * 1e-6
+        return lambda: run(Dl[:32])
+
+    med_fl, lo, hi = chain(mk_fused, 6, 30)
+    print(f"fused leaf (32,128,128) incl inv: {med_fl*1e3:.3f} ms "
+          f"[{lo*1e3:.3f},{hi*1e3:.3f}] (x8 = {8*med_fl*1e3:.2f} ms)",
+          flush=True)
 
     # ---- optimized factorization (round 5) ---------------------------
     from fidelityfusion_tpu.ops.blocked import blocked_chol_inv_v2
@@ -237,7 +272,34 @@ def main():
 
     med_o, lo, hi = chain(scan_of(ofull_body), 6, 30)
     print(f"opt full: {med_o*1e3:.2f} ms [{lo*1e3:.2f},{hi*1e3:.2f}] "
-          f"-> {R/med_o:.0f} agg steps/s")
+          f"-> {R/med_o:.0f} agg steps/s", flush=True)
+
+    # v2 with the FUSED leaf (batched rank-1 sweeps instead of XLA's
+    # serializing batched small cholesky) at two block sizes
+    for blk in (128, 256):
+        def off_body(c, blk=blk):
+            pb, sb = c
+
+            def one(p, s):
+                def loss_fn(pp):
+                    Sigma = linalg.assemble_sigma(
+                        gp_v2.kernel.apply(pp["kernel"], xj, xj),
+                        gp_v2.noise(pp, 1.0), jitter=gp_v2.jitter,
+                    )
+                    return mvn_nll_blocked(Sigma, yj, block=blk,
+                                           leaf="v2f")
+
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                u, s = opt.update(g, s, p)
+                return optax.apply_updates(p, u), s, loss
+
+            pb, sb, losses = jax.vmap(one)(pb, sb)
+            return (pb, sb), jnp.sum(losses)
+
+        med_vf, lo, hi = chain(scan_of(off_body), 6, 30)
+        print(f"opt full v2f block={blk}: {med_vf*1e3:.2f} ms "
+              f"[{lo*1e3:.2f},{hi*1e3:.2f}] -> {R/med_vf:.0f} agg steps/s",
+              flush=True)
 
 
 if __name__ == "__main__":
