@@ -223,8 +223,14 @@ def _tracked_kron_nlml_rowsharded(refresh_every: int, sweeps: int,
         A_local = rank1_tucker([lam0_local] + eigvals[1:]) + noise
 
         y_flat = y_local.reshape(b, -1)  # (b, D) data rows
+        # DATA mode-products run at DEFAULT matmul precision, exactly like
+        # the unsharded path's tensordot chains (`ops/kron.py`); HIGHEST
+        # is reserved for the eigenbasis-tracking GEMMs
+        # (_jacobi_refine_sharded, matching ops/spectral.py) — pinning it
+        # here cost a measured +180% single-chip overhead (the (n, D)
+        # rotation alone is 2.2 ms at HIGHEST vs 0.5 at DEFAULT)
         C = jnp.matmul(
-            lax.dynamic_slice_in_dim(V, r0, b, 0).T, y_flat, precision=_PR
+            lax.dynamic_slice_in_dim(V, r0, b, 0).T, y_flat
         )  # (n, D) partial of V^T y
         T1_flat = lax.psum_scatter(
             C, axis, scatter_dimension=0, tiled=True
@@ -274,15 +280,14 @@ def _tracked_kron_nlml_rowsharded(refresh_every: int, sweeps: int,
         H = lax.psum(
             jnp.matmul(
                 lax.dynamic_slice_in_dim(V, r0, b, 1), G0_local,
-                precision=_PR,
             ),
             axis,
         )  # (n, D) replicated: V @ G0 contracted over G0's sharded rows
         V_myrows = lax.dynamic_slice_in_dim(V, r0, b, 0)
         H_myrows = lax.dynamic_slice_in_dim(H, r0, b, 0)
         dK0_local = scale * (
-            jnp.matmul(V_myrows * w0[None, :], V.T, precision=_PR)
-            - jnp.matmul(H_myrows, H.T, precision=_PR)
+            jnp.matmul(V_myrows * w0[None, :], V.T)
+            - jnp.matmul(H_myrows, H.T)
         )
 
         # ---- dK_m, m >= 1 (PARTIALS; shard_map transpose psums) ------
@@ -305,11 +310,11 @@ def _tracked_kron_nlml_rowsharded(refresh_every: int, sweeps: int,
                 ]
             )
             Gm = jnp.moveaxis(gamma_m, m, 0).reshape(gamma_m.shape[m], -1)
-            Bm = jnp.matmul(Gm, Gm.T, precision=_PR)  # (d_m, d_m) partial
+            Bm = jnp.matmul(Gm, Gm.T)  # (d_m, d_m) partial
             Vm = eigvecs[m]
             dKms.append(
                 scale * (
-                    jnp.matmul(Vm * wm[None, :], Vm.T, precision=_PR)
+                    jnp.matmul(Vm * wm[None, :], Vm.T)
                     - Vm @ (Bm @ Vm.T)
                 )
             )
@@ -319,7 +324,7 @@ def _tracked_kron_nlml_rowsharded(refresh_every: int, sweeps: int,
             beta_local, list(eigvecs[1:]), modes=list(range(1, M1))
         ).reshape(b, -1)
         Cy = jnp.matmul(
-            lax.dynamic_slice_in_dim(V, r0, b, 1), beta_rot, precision=_PR
+            lax.dynamic_slice_in_dim(V, r0, b, 1), beta_rot
         )  # (n, D) partial of V beta over beta's sharded eigen rows
         dy_flat = lax.psum_scatter(Cy, axis, scatter_dimension=0, tiled=True)
         dy_local = (t / nd) * dy_flat.reshape(A_local.shape)
