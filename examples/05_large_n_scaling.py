@@ -99,4 +99,34 @@ print(f"[3] n-sharded over {mesh.shape['n']} device(s): 60 steps in "
       f"{time.time()-t0:.1f}s, NLML {float(losses2[0]):.2f} -> "
       f"{float(losses2[-1]):.2f}")
 
+# --- 4. (round 5) distributed Kronecker/HOGP training: the tracked
+# step's n^3 GEMMs sharded over the mesh (pure tracking: one replicated
+# eigh at step 0, GEMM-only distributed steps after)
+from fidelityfusion_tpu.parallel.kron_nsharded import fit_hogp_nsharded
+
+t0 = time.time()
+kgood, klosses, _ = fit_hogp_nsharded(hogp, hp0, x, yt, mesh,
+                                      steps=30, lr=1e-2)
+jax.block_until_ready(klosses)
+print(f"[4] Kronecker n-sharded over {mesh.shape['n']} device(s): 30 "
+      f"steps in {time.time()-t0:.1f}s, NLML {float(klosses[0]):.3f} -> "
+      f"{float(klosses[-1]):.3f}")
+
+# --- 5. (round 5) restarts x n: the restart ladder and the distributed
+# factorization composed on one mesh (2-D when devices allow)
+from fidelityfusion_tpu.parallel.nsharded import fit_restarts_nsharded
+from fidelityfusion_tpu.train.fit import perturb_params
+
+batch = perturb_params(jax.random.PRNGKey(0), gp2.init_params(1), n=4)
+t0 = time.time()
+best_rn, final_rn = fit_restarts_nsharded(gp2, batch, x, y, mesh,
+                                          steps=30, lr=5e-2)
+print(f"[5] restarts x n (R=4): 30 steps in {time.time()-t0:.1f}s, "
+      f"best final NLML {float(np.min(np.asarray(final_rn))):.2f}")
+
+# --- 6. (round 5) one-call cascade training with n-sharded stages:
+# train_AR(n_mesh=...) routes big stages through the distributed path
+# automatically (threshold nshard_min_rows, default 2048) — see
+# tests/test_trainer_nsharded.py for the full cascade drive.
+
 print("done — see docs/scaling.md + BASELINE.md for the measured numbers")

@@ -52,6 +52,9 @@ c)
   MODELS=CAR,GAR,CIGAR OUT=cells_car_gar_cigar.csv \
     run zoo_robustness_cgc python scripts/zoo_robustness.py
   run zoo_joint python scripts/zoo_joint_robustness.py
+  # round 5: tensor-model joint rows + the UCB beta-floor A/B
+  MODELS=GAR,CIGAR run zoo_joint_tensor python scripts/zoo_joint_robustness.py
+  BETA_FLOOR=0.25 ACQS=UCB run mfbo_betafloor python scripts/mfbo_headtohead.py
   run car_summary python scripts/summarize_car.py
   run mfbo_figures python scripts/plot_mfbo.py
   ;;
