@@ -51,6 +51,7 @@ def mf_bo_discrete(
     checkpoint_path: Optional[str] = None,
     init_data=None,
     beta_floor: float = 0.0,
+    cost_budget: Optional[float] = None,
 ) -> Dict[str, List]:
     """Discrete multi-fidelity BO (`MF_BO_discrete.py:33-152`).
 
@@ -168,6 +169,18 @@ def mf_bo_discrete(
                 return prod
 
             is_last = it == bo_iterations - 1
+            if cost_budget is not None and not is_last:
+                # BUDGET-AWARE cash-in (round 5; docs/bayesian_optimization
+                # .md "cost-matched"): ES/cfKG rationally front-load cheap
+                # information and cash in late — with a KNOWN cost ceiling
+                # the cash-in must land inside it.  Once the remaining
+                # budget covers at most two more top-fidelity queries,
+                # further cheap information can no longer be amortized:
+                # switch to cash-in mode (top-fidelity posterior argmax,
+                # the is_last semantics of bo/cfkg.py).
+                spent = float(objective.cost.compute_model_cost(ys))
+                top_cost = float(objective.cost.compute_cost(fidelity_num))
+                is_last = (cost_budget - spent) <= 2.0 * top_cost
             incumbent = float(np.max(ys[-1]))
             if method == "ES":
                 strat = MFESStrategy(

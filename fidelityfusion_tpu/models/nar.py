@@ -182,12 +182,32 @@ def train_NAR(
     n_restarts: int = 4,
     seed: int = 0,
     debugger=None,
+    n_mesh=None,
+    nshard_min_rows: int = 2048,
 ) -> List[jnp.ndarray]:
     """Sequential training (`NAR.py:63-110`): stage i >= 1 fits a GP from
     ``[subset_x, y_low]`` to ``y_high`` and registers the concatenated
-    training set as ``concat-i`` for the prediction cascade."""
+    training set as ``concat-i`` for the prediction cascade.
+
+    ``n_mesh`` (round 5): stages with >= ``nshard_min_rows`` rows train
+    through the n-axis-sharded distributed factorization (NAR stage
+    inputs/targets are precomputed concatenations, so every stage
+    dispatches; see `models/ar.py:train_AR`)."""
+    from fidelityfusion_tpu.models.ar import _run_stage_nsharded
+
     histories = []
     key = jax.random.PRNGKey(seed)
+
+    def run(gp, params, x, y, y_var, k):
+        if n_mesh is not None and x.shape[0] >= nshard_min_rows:
+            return _run_stage_nsharded(
+                gp, params, x, y, None, n_mesh, max_iter, lr_init,
+                n_restarts, k, y_var=y_var,
+            )
+        return _run_stage(
+            _CigpNLL(gp), params, max_iter, lr_init, n_restarts, k,
+            kernel_spec=gp.kernel, x=x, loss_args=(x, y, y_var),
+        )
     for i_fid in range(model.fidelity_num):
         gp = model.gp_list[i_fid]
         if i_fid == 0:
@@ -195,12 +215,8 @@ def train_NAR(
             x_low = jnp.asarray(x_low, jnp.float32)
             y_low = jnp.asarray(y_low, jnp.float32)
 
-            new_p, hist = _run_stage(
-                _CigpNLL(gp), model.params["gp"][0], max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
-                kernel_spec=gp.kernel, x=x_low,
-                loss_args=(x_low, y_low),
-            )
+            new_p, hist = run(gp, model.params["gp"][0], x_low, y_low,
+                              None, jax.random.fold_in(key, i_fid))
             model.params["gp"][0] = new_p
         else:
             if model.if_nonsubset:
@@ -235,12 +251,9 @@ def train_NAR(
                 ],
             )
 
-            new_p, hist = _run_stage(
-                _CigpNLL(gp), model.params["gp"][i_fid], max_iter, lr_init,
-                n_restarts, jax.random.fold_in(key, i_fid),
-                kernel_spec=gp.kernel, x=concat_x,
-                loss_args=(concat_x, y_high_mean, y_high_var),
-            )
+            new_p, hist = run(gp, model.params["gp"][i_fid], concat_x,
+                              y_high_mean, y_high_var,
+                              jax.random.fold_in(key, i_fid))
             model.params["gp"][i_fid] = new_p
         histories.append(hist)
         if debugger is not None:

@@ -16,7 +16,13 @@ import numpy as np
 
 from fidelityfusion_tpu.models.cigp import CIGP
 from fidelityfusion_tpu.models.data_manager import MultiFidelityDataManager
-from fidelityfusion_tpu.models.ar import _CigpNLL, _run_stage, _residual_norm, stage_x
+from fidelityfusion_tpu.models.ar import (
+    _CigpNLL,
+    _run_stage,
+    _run_stage_nsharded,
+    _residual_norm,
+    stage_x,
+)
 from fidelityfusion_tpu.ops.kernels import Kernel
 
 
@@ -99,13 +105,33 @@ def train_ResGP(
     n_restarts: int = 4,
     seed: int = 0,
     debugger=None,
+    n_mesh=None,
+    nshard_min_rows: int = 2048,
 ) -> List[jnp.ndarray]:
     """Sequential per-fidelity training (`ResGP.py:67-112`): stage i >= 1
     fits the residual ``y_hi - y_lo`` on the overlap (subset) or the imputed
     mean/var pair with ``var = |var_hi - var_lo|`` (non-subset,
-    `ResGP.py:96-97`)."""
+    `ResGP.py:96-97`).
+
+    ``n_mesh`` (round 5): stages with >= ``nshard_min_rows`` rows train
+    through the n-axis-sharded distributed factorization (ResGP targets
+    are PRECOMPUTED — rho is fixed at 1 — so every stage, including the
+    imputed-variance non-subset ones, dispatches; see
+    `models/ar.py:train_AR`)."""
     histories = []
     key = jax.random.PRNGKey(seed)
+
+    def run(gp, params, x, y, y_var, k):
+        if n_mesh is not None and x.shape[0] >= nshard_min_rows:
+            return _run_stage_nsharded(
+                gp, params, x, y, None, n_mesh, max_iter, lr_init,
+                n_restarts, k, y_var=y_var,
+            )
+        return _run_stage(
+            _CigpNLL(gp), params, max_iter, lr_init, n_restarts, k,
+            kernel_spec=gp.kernel, x=x, loss_args=(x, y, y_var),
+        )
+
     for i_fid in range(model.fidelity_num):
         gp = model.gp_list[i_fid]
         if i_fid == 0:
@@ -113,12 +139,8 @@ def train_ResGP(
             x_low = jnp.asarray(x_low, jnp.float32)
             y_low = jnp.asarray(y_low, jnp.float32)
 
-            new_p, hist = _run_stage(
-                _CigpNLL(gp), model.params["gp"][0], max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
-                kernel_spec=gp.kernel, x=x_low,
-                loss_args=(x_low, y_low),
-            )
+            new_p, hist = run(gp, model.params["gp"][0], x_low, y_low,
+                              None, jax.random.fold_in(key, i_fid))
             model.params["gp"][0] = new_p
         else:
             if model.if_nonsubset:
@@ -155,12 +177,8 @@ def train_ResGP(
                 x=np.asarray(sx),
                 y=store_y,
             )
-            new_p, hist = _run_stage(
-                _CigpNLL(gp), model.params["gp"][i_fid], max_iter, lr_init,
-                n_restarts, jax.random.fold_in(key, i_fid),
-                kernel_spec=gp.kernel, x=sx,
-                loss_args=loss_args_i,
-            )
+            new_p, hist = run(gp, model.params["gp"][i_fid],
+                              *loss_args_i, jax.random.fold_in(key, i_fid))
             model.params["gp"][i_fid] = new_p
         histories.append(hist)
         if debugger is not None:

@@ -229,10 +229,12 @@ def run_ours(acq_name, seed, bo_iterations=10):
     obj = Forrester(2)
     xs = shared_init(seed)
     ys = [obj.get_data(x, f + 1) for f, x in enumerate(xs)]
+    cb = os.environ.get("COST_BUDGET", "")
     rec = mf_bo_discrete(
         obj, method=acq_name, bo_iterations=bo_iterations,
         init_index={1: 10, 2: 4}, seed=seed, init_data=(xs, ys),
         beta_floor=float(os.environ.get("BETA_FLOOR", "0")),
+        cost_budget=float(cb) if cb else None,
     )
     # recompute cost with the shared accounting from the recorded queries
     rows = []
@@ -252,6 +254,8 @@ def main():
     sub = "mfbo_headtohead"
     if float(os.environ.get("BETA_FLOOR", "0")) > 0.0:
         sub = "mfbo_headtohead/betafloor"
+    if os.environ.get("COST_BUDGET", ""):
+        sub = "mfbo_headtohead/budget"
     outdir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "exp_results", sub)
     os.makedirs(outdir, exist_ok=True)

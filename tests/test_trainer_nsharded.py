@@ -77,3 +77,33 @@ def test_train_gar_nsharded_cascade():
     rel = np.linalg.norm(np.asarray(mean) - truth) / np.linalg.norm(truth)
     assert rel < 0.6, f"n-sharded GAR cascade rel err {rel}"
     assert np.all(np.isfinite(np.asarray(var)))
+
+
+@pytest.mark.parametrize("which", ["resgp", "nar", "resgp_nonsubset"])
+def test_train_resgp_nar_nsharded_cascade(toy_sin_data, which):
+    """ResGP/NAR trainer dispatch (round 5): precomputed stage targets
+    (rho fixed / concat inputs) dispatch every stage — including the
+    imputed-variance non-subset ResGP stage (y_var through the sharded
+    diagonal)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from fidelityfusion_tpu.models.nar import NAR, train_NAR
+    from fidelityfusion_tpu.models.resgp import ResGP, train_ResGP
+
+    dm = build_manager(toy_sin_data)
+    mesh = make_n_mesh(8)
+    if which == "nar":
+        model = NAR(3, [SquaredExponentialKernel() for _ in range(3)],
+                    input_dim=1)
+        train_NAR(model, dm, max_iter=300, lr_init=5e-2, n_restarts=4,
+                  n_mesh=mesh, nshard_min_rows=1)
+        bar = 0.15
+    else:
+        model = ResGP(3, [SquaredExponentialKernel() for _ in range(3)],
+                      input_dim=1,
+                      if_nonsubset=(which == "resgp_nonsubset"))
+        train_ResGP(model, dm, max_iter=300, lr_init=5e-2, n_restarts=4,
+                    n_mesh=mesh, nshard_min_rows=1)
+        bar = 0.15 if which == "resgp" else 0.35
+    rmse = _rmse(model, dm, toy_sin_data)
+    assert rmse < bar, f"{which} n-sharded cascade rmse {rmse}"
