@@ -551,7 +551,8 @@ def _run_stage(loss_fn, params, steps, lr, n_restarts, key,
 
 
 def _run_stage_nsharded(gp, params, x, y, residual, mesh, steps, lr,
-                        n_restarts, key, gp_field=None, y_var=None):
+                        n_restarts, key, gp_field=None, y_var=None,
+                        lift=None):
     """n-axis-sharded stage runner (round 5): the same deterministic
     length-scale restart ladder as `_run_stage`, trained through
     `parallel/nsharded.py:fit_restarts_nsharded` — restarts ride the
@@ -573,7 +574,7 @@ def _run_stage_nsharded(gp, params, x, y, residual, mesh, steps, lr,
         r_axis = "r"
     best, final = fit_restarts_nsharded(
         gp, batch, x, y, mesh, steps=steps, lr=lr, r_axis=r_axis,
-        residual=residual, y_var=y_var,
+        residual=residual, y_var=y_var, lift=lift,
     )
     return best, final
 

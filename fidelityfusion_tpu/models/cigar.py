@@ -151,10 +151,20 @@ def train_CIGAR(
     n_restarts: int = 4,
     seed: int = 0,
     debugger=None,
+    n_mesh=None,
+    nshard_min_rows: int = 2048,
 ) -> List[jnp.ndarray]:
     """Staged training (`CIGAR.py:84-134`): stage i >= 1 fits the CIGP on
     the flattened residual ``Y_hi - TL_i(Y_lo)`` with the TensorLinear map
-    trained through the NLML; non-subset variance ``|var_hi - var_lo|``."""
+    trained through the NLML; non-subset variance ``|var_hi - var_lo|``.
+
+    ``n_mesh`` (round 5): stages with >= ``nshard_min_rows`` rows train
+    through the n-axis-sharded distributed factorization; residual
+    stages rebuild the TensorLinear-lifted target inside the sharded
+    program (the lift acts on output columns — row-local; see
+    `parallel/nsharded.py:restarts_nll_nsharded(lift=...)`)."""
+    from fidelityfusion_tpu.models.ar import _run_stage_nsharded
+
     histories = []
     key = jax.random.PRNGKey(seed)
     for i_fid in range(model.fidelity_num):
@@ -165,12 +175,21 @@ def train_CIGAR(
             y_low = jnp.asarray(y_low, jnp.float32).reshape(len(y_low), -1)
 
             stage_p = {"gp": model.params["gp"][0]}
-            stage_p, hist = _run_stage(
-                _Cigar0Loss(gp), stage_p, max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
-                kernel_spec=gp.kernel, x=x_low, gp_field="gp",
-                loss_args=(x_low, y_low),
-            )
+            if (n_mesh is not None
+                    and x_low.shape[0] >= nshard_min_rows):
+                good, hist = _run_stage_nsharded(
+                    gp, model.params["gp"][0], x_low, y_low, None,
+                    n_mesh, max_iter, lr_init, n_restarts,
+                    jax.random.fold_in(key, i_fid),
+                )
+                stage_p = {"gp": good}
+            else:
+                stage_p, hist = _run_stage(
+                    _Cigar0Loss(gp), stage_p, max_iter, lr_init,
+                    n_restarts, jax.random.fold_in(key, i_fid),
+                    kernel_spec=gp.kernel, x=x_low, gp_field="gp",
+                    loss_args=(x_low, y_low),
+                )
             model.params["gp"][0] = stage_p["gp"]
         else:
             if model.if_nonsubset:
@@ -218,13 +237,27 @@ def train_CIGAR(
                 "gp": model.params["gp"][i_fid],
                 "tl": model.params["tl"][i_fid - 1],
             }
-            stage_p, hist = _run_stage(
-                _CigarResLoss(gp, model.tl_list[i_fid - 1]), stage_p,
-                max_iter, lr_init, n_restarts,
-                jax.random.fold_in(key, i_fid),
-                kernel_spec=gp.kernel, x=sx, gp_field="gp",
-                loss_args=loss_args_i,
-            )
+            if (n_mesh is not None
+                    and sx.shape[0] >= nshard_min_rows):
+                sh_i, sc_i = model.stage_norm[i_fid]
+                rv_i = loss_args_i[3]
+                if rv_i is not None:
+                    rv_i = jnp.asarray(rv_i, jnp.float32).reshape(-1)
+                stage_p, hist = _run_stage_nsharded(
+                    gp, stage_p, sx, None,
+                    (yl, yh, jnp.float32(sh_i), jnp.float32(sc_i)),
+                    n_mesh, max_iter, lr_init, n_restarts,
+                    jax.random.fold_in(key, i_fid), gp_field="gp",
+                    y_var=rv_i, lift=model.tl_list[i_fid - 1],
+                )
+            else:
+                stage_p, hist = _run_stage(
+                    _CigarResLoss(gp, model.tl_list[i_fid - 1]), stage_p,
+                    max_iter, lr_init, n_restarts,
+                    jax.random.fold_in(key, i_fid),
+                    kernel_spec=gp.kernel, x=sx, gp_field="gp",
+                    loss_args=loss_args_i,
+                )
             model.params["gp"][i_fid] = stage_p["gp"]
             model.params["tl"][i_fid - 1] = stage_p["tl"]
 

@@ -444,7 +444,7 @@ def restarts_nll_nsharded(gp, params_batch, x, y, mesh: Mesh,
                           n_axis: str = "n",
                           r_axis: Optional[str] = None,
                           y_var: Optional[jnp.ndarray] = None,
-                          residual=None):
+                          residual=None, lift=None):
     """Per-restart NLML vector (R,) with the training-set axis sharded
     over ``mesh[n_axis]`` and (optionally) the restart batch sharded over
     ``mesh[r_axis]`` — the restarts x n composition: the batched-Cholesky
@@ -466,6 +466,12 @@ def restarts_nll_nsharded(gp, params_batch, x, y, mesh: Mesh,
     ``{"gp": <cigp params>, "rho": scalar}`` and the stage target is
     ``(y_high - rho*y_low - shift)/scale`` built from row slabs
     (elementwise per row — no extra collectives).  ``y`` is ignored.
+
+    ``lift``: optional `TensorLinear` spec — with ``residual`` set, the
+    stage target becomes the CIGAR form ``(y_high - TL(y_low) - shift)
+    / scale`` (flattened rows lifted through ``p["tl"]``, trained
+    through the loss; the lift acts on output columns only, so it is
+    row-local).
     """
     n_real = x.shape[0]
     nblk = int(mesh.shape[n_axis])
@@ -508,7 +514,17 @@ def restarts_nll_nsharded(gp, params_batch, x, y, mesh: Mesh,
             if residual is not None:
                 yl_local, yh_local = y_local
                 gp_p = p["gp"]
-                tgt_local = (yh_local - p["rho"] * yl_local - shift) / scale
+                if lift is not None:
+                    b_rows = yl_local.shape[0]
+                    lifted = lift.apply(
+                        p["tl"],
+                        yl_local.reshape((b_rows,) + lift.l_shape),
+                    ).reshape(b_rows, -1)
+                    tgt_local = (yh_local - lifted - shift) / scale
+                else:
+                    tgt_local = (
+                        yh_local - p["rho"] * yl_local - shift
+                    ) / scale
                 if n != n_real:
                     # zero-padded yl/yh rows map to -shift/scale, not 0 —
                     # mask them so identity Sigma rows contribute nothing
@@ -550,7 +566,7 @@ def fit_restarts_nsharded(gp, params_batch, x, y, mesh: Mesh,
                           n_axis: str = "n",
                           r_axis: Optional[str] = None,
                           y_var: Optional[jnp.ndarray] = None,
-                          residual=None):
+                          residual=None, lift=None):
     """Restart-ladder training over the (restarts x n) mesh: one Adam
     scan advances every restart jointly (sum-of-NLMLs loss — restarts are
     independent, so each gets its own gradient), each restart's
@@ -572,7 +588,7 @@ def fit_restarts_nsharded(gp, params_batch, x, y, mesh: Mesh,
     def losses_fn(pbt):
         return restarts_nll_nsharded(
             gp, pbt, x, y, mesh, n_axis=n_axis, r_axis=r_axis, y_var=y_var,
-            residual=residual,
+            residual=residual, lift=lift,
         )
 
     def total_fn(pbt):

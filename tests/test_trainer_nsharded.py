@@ -107,3 +107,42 @@ def test_train_resgp_nar_nsharded_cascade(toy_sin_data, which):
         bar = 0.15 if which == "resgp" else 0.35
     rmse = _rmse(model, dm, toy_sin_data)
     assert rmse < bar, f"{which} n-sharded cascade rmse {rmse}"
+
+
+def test_train_cigar_nsharded_cascade():
+    """CIGAR trainer dispatch (round 5): residual stages rebuild the
+    TensorLinear-lifted target inside the sharded program (lift= path),
+    with the TL params trained through the distributed NLML."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from fidelityfusion_tpu.data.pde import generate_poisson_mf_dataset
+    from fidelityfusion_tpu.models.cigar import CIGAR, train_CIGAR
+    from fidelityfusion_tpu.models.data_manager import (
+        MultiFidelityDataManager,
+    )
+
+    x, ys = generate_poisson_mf_dataset(
+        n_samples=48, resolutions=(6, 10, 14), d_in=4, seed=3
+    )
+    ys_flat = [y.reshape(len(y), -1) for y in ys]
+    initial = []
+    for i, (y, n) in enumerate(zip(ys_flat, (40, 32, 24))):
+        initial.append(
+            {
+                "raw_fidelity_name": str(i),
+                "fidelity_indicator": i,
+                "X": x[:n],
+                "Y": y[:n],
+            }
+        )
+    dm = MultiFidelityDataManager(initial)
+    shapes = [(6, 6), (10, 10), (14, 14)]
+    model = CIGAR(3, [ARDKernel() for _ in range(3)], shapes,
+                  input_dim=x.shape[1])
+    train_CIGAR(model, dm, max_iter=60, lr_init=5e-2, n_mesh=make_n_mesh(8),
+                nshard_min_rows=1)
+    mean, var = model.forward(dm, jnp.asarray(x[40:], jnp.float32))
+    truth = ys_flat[2][40:]
+    rel = np.linalg.norm(np.asarray(mean) - truth) / np.linalg.norm(truth)
+    assert rel < 0.6, f"n-sharded CIGAR cascade rel err {rel}"
+    assert np.all(np.asarray(var) > 0)
